@@ -5,18 +5,17 @@ Design (TPU-first, not a port):
   * A field element is a vector of `L` limbs of `LIMB_BITS` (=12) bits held in
     int32, least-significant first.  All ops are *batched*: arrays have shape
     (..., L) and every operation is elementwise over the leading dims, so the
-    VPU's 8x128 lanes are filled by the batch dimension, not the limb
-    dimension.
+    VPU's lanes are filled by the batch dimension, not the limb dimension.
   * 12-bit limbs keep every partial product (24 bits) plus an accumulation of
-    up to 64 terms (6 bits) inside signed int32 — no int64 anywhere, which is
-    what XLA:TPU vectorizes well.
-  * Multiplication is Montgomery: full schoolbook convolution (statically
-    unrolled over limbs — XLA fuses the L multiply-adds), carry
-    normalisation, REDC with -p^{-1} mod R, and a final conditional subtract.
-  * Carries are propagated with a lax.scan along the limb axis (signed-safe:
-    arithmetic right shift doubles as borrow propagation).  A log-depth
-    carry-lookahead variant exists for the non-negative case and is used on
-    the mul path.
+    up to 64 terms (6 bits) inside signed int32 — no int64 anywhere.
+  * Limb convolution (schoolbook product) is ONE gather + ONE dot_general
+    against a precomputed shift-index/mask pair, so a full Montgomery mul is
+    a handful of HLO ops.  This keeps XLA graphs small enough that MSM/NTT
+    loops instantiating hundreds of point additions still compile fast, and
+    it maps onto batched matvecs the TPU backend can tile.
+  * Carries ripple via a tiny lax.while_loop (converges in <= 4 passes for
+    random data, bounded by L; arithmetic right shift doubles as borrow
+    propagation, so signed columns with non-negative totals are handled).
 
 Replaces (in role, not in code) the gnark-crypto hand-written x86-64
 Montgomery assembly used by the reference at every prover step
@@ -34,25 +33,87 @@ import numpy as np
 from davinci_tpu.fields import LIMB_BITS, LIMB_MASK, FieldSpec
 
 # ---------------------------------------------------------------------------
+# Limb convolution via gather + dot_general
+# ---------------------------------------------------------------------------
+
+
+@functools.cache
+def _conv_tables_np(l: int, out: int):
+    i = np.arange(l)[:, None]
+    k = np.arange(out)[None, :]
+    d = k - i
+    mask = (d >= 0) & (d < l)
+    idx = np.clip(d, 0, l - 1)
+    return idx.astype(np.int32), mask.astype(np.int32)
+
+
+def _conv_tables(l: int, out: int):
+    """IDX[i, k] = k - i clipped to [0, l), MASK[i, k] = 1 iff 0 <= k-i < l.
+    numpy is cached; jnp conversion happens per call so no tracer leaks."""
+    idx, mask = _conv_tables_np(l, out)
+    return jnp.asarray(idx), jnp.asarray(mask)
+
+
+def conv_full(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full product columns: out[..., k] = sum_{i+j=k} a_i * b_j, length 2L.
+    Columns < L * (2^12-1)^2 < 2^31 for L <= 64."""
+    l = a.shape[-1]
+    idx, mask = _conv_tables(l, 2 * l)
+    bexp = b[..., idx] * mask  # (..., L, 2L)
+    return jnp.einsum(
+        "...i,...ik->...k", a, bexp, preferred_element_type=jnp.int32
+    )
+
+
+def conv_low(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Lower half product columns (k < L)."""
+    l = a.shape[-1]
+    idx, mask = _conv_tables(l, l)
+    bexp = b[..., idx] * mask
+    return jnp.einsum(
+        "...i,...ik->...k", a, bexp, preferred_element_type=jnp.int32
+    )
+
+
+# ---------------------------------------------------------------------------
 # Carry propagation
 # ---------------------------------------------------------------------------
 
 
-def carry_scan_c(cols: jnp.ndarray, n_out: int):
-    """Exact carry/borrow propagation along the last axis via lax.scan.
+def carry_fix(cols: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """Carry/borrow normalisation of signed column sums to canonical limbs.
 
-    `cols` holds signed per-limb column sums (|col| < 2^30).  Returns
-    (limbs, final_carry): canonical limbs in [0, 2^LIMB_BITS) of length
-    `n_out` and the signed carry out of the top processed limb.  The final
-    carry doubles as a comparison verdict: propagating (a - b) yields
-    carry < 0 iff a < b.
+    Requirements: the represented total is >= 0 and carries beyond n_out are
+    semantically droppable (value < 2^(12*n_out), or caller wants mod R).
+    Each pass moves every limb's carry up one position; a while_loop runs
+    until all limbs are canonical (typically 3-4 passes).
     """
+    x = cols
+    if x.shape[-1] < n_out:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, n_out - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    x = x[..., :n_out]
+
+    def canonical(v):
+        return jnp.all((v >> LIMB_BITS) == 0)
+
+    def body(v):
+        lo = v & LIMB_MASK
+        hi = v >> LIMB_BITS  # arithmetic shift: handles borrows
+        hi = jnp.concatenate([jnp.zeros_like(hi[..., :1]), hi[..., :-1]], axis=-1)
+        return lo + hi
+
+    return jax.lax.while_loop(lambda v: ~canonical(v), body, x)
+
+
+# backwards-compatible exact scan variant (used in tests as a reference)
+def carry_scan_c(cols: jnp.ndarray, n_out: int):
     k = cols.shape[-1]
-    x = jnp.moveaxis(cols, -1, 0)  # (k, ...)
+    x = jnp.moveaxis(cols, -1, 0)
 
     def step(carry, col):
         v = col + carry
-        return v >> LIMB_BITS, v & LIMB_MASK  # arithmetic shift: borrow-safe
+        return v >> LIMB_BITS, v & LIMB_MASK
 
     fc, limbs = jax.lax.scan(step, jnp.zeros(x.shape[1:], jnp.int32), x)
     limbs = jnp.moveaxis(limbs, 0, -1)
@@ -66,67 +127,18 @@ def carry_scan(cols: jnp.ndarray, n_out: int) -> jnp.ndarray:
     return carry_scan_c(cols, n_out)[0]
 
 
-def carry_log(cols: jnp.ndarray, n_out: int) -> jnp.ndarray:
-    """Log-depth carry propagation for *non-negative* columns < 2^31.
+def _sign_of_diff(d: jnp.ndarray) -> jnp.ndarray:
+    """Sign of the multi-limb value sum d_i 2^(12 i), given |d_i| small.
+    Folds from the most significant limb: first nonzero limb decides.
+    Returns (...,) int32 in {-1, 0, 1}."""
+    l = d.shape[-1]
 
-    Three vectorized shift-add passes reduce limb values to [0, 2^LIMB_BITS],
-    after which carries are in {0,1} and a generate/propagate carry-lookahead
-    (associative_scan) finishes exactly.
-    """
-    x = cols
-    if x.shape[-1] < n_out:
-        pad = [(0, 0)] * (x.ndim - 1) + [(0, n_out - x.shape[-1])]
-        x = jnp.pad(x, pad)
-    x = x[..., :n_out]
+    def body(i, acc):
+        limb = jax.lax.dynamic_index_in_dim(d, l - 1 - i, axis=-1, keepdims=False)
+        s = jnp.sign(limb)
+        return jnp.where(acc == 0, s, acc)
 
-    def shift_pass(v):
-        lo = v & LIMB_MASK
-        hi = v >> LIMB_BITS
-        hi = jnp.concatenate(
-            [jnp.zeros_like(hi[..., :1]), hi[..., :-1]], axis=-1
-        )
-        return lo + hi
-
-    # value bounds: 2^31 -> ~2^19 -> 4223 -> 4096
-    x = shift_pass(shift_pass(shift_pass(x)))
-    # now x[i] in [0, 4096]: carry out is 1 iff x[i]+carry_in > LIMB_MASK
-    g = (x > LIMB_MASK).astype(jnp.int32)   # generate
-    p = (x == LIMB_MASK).astype(jnp.int32)  # propagate
-
-    def combine(a, b):
-        ga, pa = a
-        gb, pb = b
-        return gb | (pb & ga), pb & pa
-
-    gs, _ = jax.lax.associative_scan(combine, (g, p), axis=-1)
-    carry_in = jnp.concatenate(
-        [jnp.zeros_like(gs[..., :1]), gs[..., :-1]], axis=-1
-    )
-    return (x + carry_in) & LIMB_MASK
-
-
-# ---------------------------------------------------------------------------
-# Convolutions (schoolbook limb products, statically unrolled)
-# ---------------------------------------------------------------------------
-
-
-def conv_full(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Full product columns: out[..., k] = sum_{i+j=k} a_i * b_j, length 2L-1
-    padded to 2L.  Columns < L * (2^12-1)^2 < 2^31 for L <= 64."""
-    l = a.shape[-1]
-    out = jnp.zeros(a.shape[:-1] + (2 * l,), jnp.int32)
-    for i in range(l):
-        out = out.at[..., i : i + l].add(a[..., i : i + 1] * b)
-    return out
-
-
-def conv_low(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Lower half product columns: out[..., k] = sum_{i+j=k, k<L} a_i*b_j."""
-    l = a.shape[-1]
-    out = jnp.zeros(a.shape[:-1] + (l,), jnp.int32)
-    for i in range(l):
-        out = out.at[..., i:].add(a[..., i : i + 1] * b[..., : l - i])
-    return out
+    return jax.lax.fori_loop(0, l, body, jnp.zeros(d.shape[:-1], jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -196,32 +208,33 @@ class DeviceField:
     # -- core ops -----------------------------------------------------------
 
     def _csub_p(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x in [0, 2p) as canonical limbs -> x mod p.  One borrow scan gives
-        both the difference and the underflow verdict."""
-        d, fc = carry_scan_c(x - self.p_limbs, self.L)
-        return jnp.where((fc < 0)[..., None], x, d)
+        """x in [0, 2p) as canonical limbs -> x mod p."""
+        d = x - self.p_limbs
+        neg = _sign_of_diff(d) < 0
+        fixed = carry_fix(d + jnp.where(neg[..., None], self.p_limbs, 0), self.L)
+        return fixed
 
     def _lt(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Lexicographic a < b over canonical limbs, batched -> (...,) bool."""
-        _, fc = carry_scan_c(a - b, a.shape[-1])
-        return fc < 0
+        return _sign_of_diff(a - b) < 0
 
     def _redc(self, t: jnp.ndarray) -> jnp.ndarray:
         """Montgomery reduction of a canonical 2L-limb value t < R*p."""
         l = self.L
         t_lo = t[..., :l]
-        m_cols = conv_low(t_lo, jnp.broadcast_to(self.nprime_limbs, t_lo.shape))
-        m = carry_scan(m_cols, l)
+        m = carry_fix(
+            conv_low(t_lo, jnp.broadcast_to(self.nprime_limbs, t_lo.shape)), l
+        )
         mp = conv_full(m, jnp.broadcast_to(self.p_limbs, m.shape))
         # t + m*p ≡ 0 mod R: low L limbs vanish after carry propagation and
         # (t + m*p)/R < 2p < R, so 2L limbs suffice.
-        s = carry_scan(t + mp, 2 * l)
+        s = carry_fix(t + mp, 2 * l)
         return self._csub_p(s[..., l:])
 
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product: (a*b*R^{-1}) mod p."""
         a, b = jnp.broadcast_arrays(a, b)
-        t = carry_scan(conv_full(a, b), 2 * self.L)
+        t = carry_fix(conv_full(a, b), 2 * self.L)
         return self._redc(t)
 
     def square(self, a: jnp.ndarray) -> jnp.ndarray:
@@ -229,16 +242,13 @@ class DeviceField:
 
     def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         # a + b < 2p < R (>= 6 bits of headroom), so L limbs suffice.
-        return self._csub_p(carry_scan(a + b, self.L))
+        return self._csub_p(carry_fix(a + b, self.L))
 
     def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        s = carry_scan(a - b + self.p_limbs, self.L + 1)
-        return self._csub_p(s[..., : self.L])
+        return self._csub_p(carry_fix(a - b + self.p_limbs, self.L))
 
     def neg(self, a: jnp.ndarray) -> jnp.ndarray:
-        s = carry_scan(self.p_limbs - a, self.L)
-        # p - a == p when a == 0 -> csub brings it to 0
-        return self._csub_p(s)
+        return self._csub_p(carry_fix(self.p_limbs - a, self.L))
 
     def double(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.add(a, a)

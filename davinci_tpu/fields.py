@@ -201,65 +201,30 @@ class FieldSpec:
         return s
 
     @functools.cached_property
-    def multiplicative_generator(self) -> int:
-        """Smallest generator of the multiplicative group (matches the
-        standard choice used for FFT cosets)."""
+    def smallest_qnr(self) -> int:
+        """Smallest quadratic non-residue; doubles as the FFT coset
+        generator (a QNR is never inside a 2^k subgroup with k < 2-adicity,
+        since all such subgroup elements are squares)."""
         p = self.p
-        factors = _factor_small(p - 1)
         for g in range(2, 1000):
-            if all(pow(g, (p - 1) // q, p) != 1 for q in factors):
+            if pow(g, (p - 1) // 2, p) == p - 1:
                 return g
-        raise RuntimeError("no small generator found")
+        raise RuntimeError("no small QNR found")
+
+    # alias kept for call sites thinking in coset terms
+    @property
+    def multiplicative_generator(self) -> int:
+        return self.smallest_qnr
 
     def root_of_unity(self, log_n: int) -> int:
-        """Primitive 2^log_n-th root of unity."""
-        assert log_n <= self.two_adicity, (
-            f"{self.name}: 2-adicity {self.two_adicity} < {log_n}"
-        )
-        g = self.multiplicative_generator
-        return pow(g, (self.p - 1) >> log_n, self.p)
-
-
-def _factor_small(n: int) -> set[int]:
-    """Prime factors of n, assuming all large factors appear once and are
-    prime (true for p-1 of our SNARK fields after trial division)."""
-    fs = set()
-    d = 2
-    while d * d <= n and d < 100000:
-        while n % d == 0:
-            fs.add(d)
-            n //= d
-        d += 1
-    if n > 1:
-        # remaining cofactor: split into prime factors by Miller-Rabin;
-        # if composite we only need *distinct prime* factors for generator
-        # search — fall back to treating it as one factor if prime.
-        if _is_prime(n):
-            fs.add(n)
-        else:
-            # Pollard rho for stubborn composites
-            fs |= _pollard_factor(n)
-    return fs
-
-
-def _pollard_factor(n: int) -> set[int]:
-    import math
-    import random
-
-    if n == 1:
-        return set()
-    if _is_prime(n):
-        return {n}
-    while True:
-        x = random.randrange(2, n)
-        y, c, d = x, random.randrange(1, n), 1
-        while d == 1:
-            x = (x * x + c) % n
-            y = (y * y + c) % n
-            y = (y * y + c) % n
-            d = math.gcd(abs(x - y), n)
-        if d != n:
-            return _pollard_factor(d) | _pollard_factor(n // d)
+        """Primitive 2^log_n-th root of unity: qnr^((p-1)/2^s) has exact
+        order 2^s (s = two_adicity); square down to 2^log_n."""
+        s = self.two_adicity
+        assert log_n <= s, f"{self.name}: 2-adicity {s} < {log_n}"
+        y = pow(self.smallest_qnr, (self.p - 1) >> s, self.p)
+        for _ in range(s - log_n):
+            y = y * y % self.p
+        return y
 
 
 # ---------------------------------------------------------------------------

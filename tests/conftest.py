@@ -10,8 +10,15 @@ os.environ.setdefault(
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
 )
 
+import jax
 import numpy as np
 import pytest
+
+# Persistent compile cache: MSM/Groth16 graphs are compile-heavy; caching
+# across test runs turns minutes of XLA time into milliseconds.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture(scope="session")

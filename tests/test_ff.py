@@ -86,13 +86,18 @@ def test_mont_roundtrip_and_raw(spec):
 
 
 def test_carry_variants_agree():
-    from davinci_tpu.ff.mod import carry_log, carry_scan
+    from davinci_tpu.ff.mod import carry_fix, carry_scan
 
     rng = np.random.default_rng(7)
     cols = jnp.asarray(rng.integers(0, 2**30, size=(32, 44), dtype=np.int32))
     a = carry_scan(cols, 44)
-    b = carry_log(cols, 44)
+    b = carry_fix(cols, 44)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # adversarial ripple: all limbs at the carry fixpoint boundary
+    edge = jnp.full((4, 44), 4095, jnp.int32).at[:, 0].set(4096)
+    np.testing.assert_array_equal(
+        np.asarray(carry_scan(edge, 44)), np.asarray(carry_fix(edge, 44))
+    )
 
 
 def test_lt():
