@@ -1,0 +1,268 @@
+"""Groth16 setup / prove / verify.
+
+TPU-first split: *proving* (the hot path) runs on device — witness-vector
+MSMs over the proving key, and the quotient polynomial via coset NTTs (the
+coset vanishing polynomial is constant on the coset, so the division is one
+scalar multiply).  *Setup* and *verification* are host paths (arbitrary-
+precision + pairings).
+
+Role parity: gnark's groth16 backend behind the reference's
+prover/prover_cpu.go:20-64 and circuits/artifacts.go:474-571 (Setup /
+ProveAndVerify), minus gnark's Pedersen-commitment extension (our circuits
+use classical bit-decomposition gadgets instead of commitment hints).
+"""
+
+from __future__ import annotations
+
+import random as _random
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from davinci_tpu import fields as F
+from davinci_tpu import curves as C
+from davinci_tpu.curves import AffinePoint
+from davinci_tpu.ec import get_device_curve
+from davinci_tpu.msm import msm
+from davinci_tpu.msm.pippenger import scalars_to_limbs
+from davinci_tpu.ntt import get_device_ntt
+from davinci_tpu.pairing import PAIRINGS
+
+
+@dataclass(eq=False)
+class ProvingKey:
+    alpha_g1: AffinePoint
+    beta_g1: AffinePoint
+    beta_g2: AffinePoint
+    delta_g1: AffinePoint
+    delta_g2: AffinePoint
+    a_g1: list          # [u_i(tau)] G1, all variables
+    b_g1: list          # [v_i(tau)] G1
+    b_g2: list          # [v_i(tau)] G2
+    k_g1: list          # [(beta u + alpha v + w)/delta] G1, private vars
+    z_g1: list          # [tau^j Z(tau)/delta] G1, j < N-1
+    domain_log: int
+
+
+@dataclass(eq=False)
+class VerifyingKey:
+    alpha_g1: AffinePoint
+    beta_g2: AffinePoint
+    gamma_g2: AffinePoint
+    delta_g2: AffinePoint
+    k_pub_g1: list      # [(beta u + alpha v + w)/gamma] G1, ONE + publics
+
+
+@dataclass(eq=False)
+class Proof:
+    a: AffinePoint
+    b: AffinePoint  # G2
+    c: AffinePoint
+
+
+class Groth16:
+    """Groth16 over one pairing curve ('bn254', 'bls12_377', 'bls12_381')."""
+
+    def __init__(self, curve_name: str):
+        self.ctx = PAIRINGS[curve_name]
+        self.fr = {
+            "bn254": F.bn254_fr,
+            "bls12_377": F.bls12_377_fr,
+            "bls12_381": F.bls12_381_fr,
+        }[curve_name]
+        self.g1 = self.ctx.g1
+        self.g2 = self.ctx.g2
+        self.dc = get_device_curve(self.g1)
+        self.ntt = get_device_ntt(self.fr)
+        self.r = self.fr.p
+
+    # ------------------------------------------------------------------ setup
+
+    def setup(self, cs, rng=None):
+        """Trusted setup for the given ConstraintSystem (structure only)."""
+        rng = rng or _random.Random(0x5E7)
+        r = self.r
+        n_cons = len(cs.constraints)
+        m = cs.num_variables
+        logN = max(1, (n_cons - 1).bit_length()) if n_cons > 1 else 1
+        N = 1 << logN
+
+        tau = rng.randrange(1, r)
+        alpha = rng.randrange(1, r)
+        beta = rng.randrange(1, r)
+        gamma = rng.randrange(1, r)
+        delta = rng.randrange(1, r)
+
+        # Lagrange values L_j(tau) = Z(tau) * w^j / (N * (tau - w^j))
+        w = self.fr.root_of_unity(logN)
+        z_tau = (pow(tau, N, r) - 1) % r
+        ninv = pow(N, -1, r)
+        lag = []
+        wj = 1
+        for j in range(N):
+            lag.append(z_tau * wj % r * pow((tau - wj) % r, -1, r) % r * ninv % r)
+            wj = wj * w % r
+        # u_i(tau), v_i(tau), w_i(tau) from sparse constraint rows
+        u = [0] * m
+        v = [0] * m
+        wv = [0] * m
+        for j, (A, B, Cc) in enumerate(cs.constraints):
+            lj = lag[j]
+            for i, coeff in A.items():
+                u[i] = (u[i] + coeff * lj) % r
+            for i, coeff in B.items():
+                v[i] = (v[i] + coeff * lj) % r
+            for i, coeff in Cc.items():
+                wv[i] = (wv[i] + coeff * lj) % r
+
+        ginv = pow(gamma, -1, r)
+        dinv = pow(delta, -1, r)
+        npub = 1 + cs.num_public
+        k_pub = [
+            (beta * u[i] + alpha * v[i] + wv[i]) % r * ginv % r
+            for i in range(npub)
+        ]
+        k_priv = [
+            (beta * u[i] + alpha * v[i] + wv[i]) % r * dinv % r
+            for i in range(npub, m)
+        ]
+        # [tau^j * Z(tau)/delta], j in 0..N-2
+        zd = z_tau * dinv % r
+        z_scalars = []
+        t_acc = zd
+        for j in range(N - 1):
+            z_scalars.append(t_acc)
+            t_acc = t_acc * tau % r
+
+        g1m = self._g1_batch_mul
+        g2m = self._g2_batch_mul
+        pk = ProvingKey(
+            alpha_g1=self.g1.gen.mul(alpha),
+            beta_g1=self.g1.gen.mul(beta),
+            beta_g2=self.g2.gen.mul(beta),
+            delta_g1=self.g1.gen.mul(delta),
+            delta_g2=self.g2.gen.mul(delta),
+            a_g1=g1m(u),
+            b_g1=g1m(v),
+            b_g2=g2m(v),
+            k_g1=g1m(k_priv),
+            z_g1=g1m(z_scalars),
+            domain_log=logN,
+        )
+        vk = VerifyingKey(
+            alpha_g1=pk.alpha_g1,
+            beta_g2=pk.beta_g2,
+            gamma_g2=self.g2.gen.mul(gamma),
+            delta_g2=pk.delta_g2,
+            k_pub_g1=g1m(k_pub),
+        )
+        return pk, vk
+
+    def _g1_batch_mul(self, scalars):
+        """[s*G1] for a scalar list — batched device double-and-add.
+        Sizes are padded to powers of two to bound compile-shape count."""
+        if not scalars:
+            return []
+        n = len(scalars)
+        n_pad = 1 << (n - 1).bit_length() if n > 1 else 1
+        padded = list(scalars) + [0] * (n_pad - n)
+        base = self.dc.encode_points([self.g1.gen] * n_pad)
+        S = jnp.asarray(scalars_to_limbs(self.g1, padded))
+        out = self.dc.scalar_mul(base, S)
+        return self.dc.decode_points(out)[:n]
+
+    def _g2_batch_mul(self, scalars):
+        """Host G2 scalar muls (device Fp2 backend lands next)."""
+        return [self.g2.gen.mul(s) for s in scalars]
+
+    # ------------------------------------------------------------------ prove
+
+    def prove(self, pk: ProvingKey, cs, r_rand=None, s_rand=None) -> Proof:
+        """Prove a *solved* ConstraintSystem (witness inside)."""
+        assert cs.check_satisfied(), "witness does not satisfy constraints"
+        r = self.r
+        rng = _random.Random()
+        rr = rng.randrange(r) if r_rand is None else r_rand
+        ss = rng.randrange(r) if s_rand is None else s_rand
+
+        z = cs.witness()
+        N = 1 << pk.domain_log
+
+        # --- quotient polynomial h on device -----------------------------
+        az = [0] * N
+        bz = [0] * N
+        czv = [0] * N
+        for j, (A, B, Cc) in enumerate(cs.constraints):
+            az[j] = sum(c * z[i] for i, c in A.items()) % r
+            bz[j] = sum(c * z[i] for i, c in B.items()) % r
+            czv[j] = sum(c * z[i] for i, c in Cc.items()) % r
+
+        df = self.ntt.df
+        evals = jnp.stack([df.encode(az), df.encode(bz), df.encode(czv)])
+        coeffs = self.ntt.intt(evals)
+        cosets = self.ntt.coset_ntt(coeffs)
+        ab = df.mul(cosets[0], cosets[1])
+        num = df.sub(ab, cosets[2])
+        g = self.fr.multiplicative_generator
+        zc_inv = pow((pow(g, N, r) - 1) % r, -1, r)
+        he = df.mul(num, df.encode_scalar(zc_inv))
+        h_coeffs = self.ntt.coset_intt(he)
+        h = df.decode(h_coeffs)
+        assert h[N - 1] == 0, "quotient degree overflow"
+
+        # --- MSMs ---------------------------------------------------------
+        a_lin = self._msm_host_pts(pk.a_g1, z)
+        b1_lin = self._msm_host_pts(pk.b_g1, z)
+        npub = 1 + cs.num_public
+        k_lin = self._msm_host_pts(pk.k_g1, z[npub:])
+        h_lin = self._msm_host_pts(pk.z_g1, h[: N - 1])
+
+        # --- assembly (host, tiny) ---------------------------------------
+        A = pk.alpha_g1.add(a_lin).add(pk.delta_g1.mul(rr))
+        B1 = pk.beta_g1.add(b1_lin).add(pk.delta_g1.mul(ss))
+        # B in G2 (host MSM until the Fp2 device backend lands)
+        b2_lin = self.g2.infinity()
+        for pt, s in zip(pk.b_g2, z):
+            if s:
+                b2_lin = b2_lin.add(pt.mul(s))
+        B2 = pk.beta_g2.add(b2_lin).add(pk.delta_g2.mul(ss))
+        Cpt = (
+            k_lin.add(h_lin)
+            .add(A.mul(ss))
+            .add(B1.mul(rr))
+            .add(pk.delta_g1.mul((-rr * ss) % r))
+        )
+        return Proof(a=A, b=B2, c=Cpt)
+
+    def _msm_host_pts(self, pts, scalars):
+        assert len(pts) == len(scalars)
+        nz = [(p, s) for p, s in zip(pts, scalars) if s and not p.infinity]
+        if not nz:
+            return self.g1.infinity()
+        pts_nz = [p for p, _ in nz]
+        sc_nz = [s for _, s in nz]
+        P = self.dc.encode_points(pts_nz)
+        S = jnp.asarray(scalars_to_limbs(self.g1, sc_nz))
+        out = msm(self.dc, P, S)
+        return self.dc.decode_points(tuple(a[None] for a in out))[0]
+
+    # ----------------------------------------------------------------- verify
+
+    def verify(self, vk: VerifyingKey, proof: Proof, public_inputs: list) -> bool:
+        """public_inputs: the circuit's public values (without the ONE)."""
+        z_pub = [1] + [x % self.r for x in public_inputs]
+        if len(z_pub) != len(vk.k_pub_g1):
+            return False
+        pi = self.g1.infinity()
+        for pt, s in zip(vk.k_pub_g1, z_pub):
+            if s:
+                pi = pi.add(pt.mul(s))
+        return self.ctx.pairing_check(
+            [
+                (proof.a.neg(), proof.b),
+                (vk.alpha_g1, vk.beta_g2),
+                (pi, vk.gamma_g2),
+                (proof.c, vk.delta_g2),
+            ]
+        )

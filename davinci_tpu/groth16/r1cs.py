@@ -1,0 +1,250 @@
+"""Rank-1 constraint system frontend with inline witness computation.
+
+Role parity: the gnark frontend (`frontend.Compile`, `Define()` circuits)
+used by every circuit in the reference (circuits/*/): our circuits are
+Python functions over a ConstraintSystem; running one both records the
+constraint structure and computes the witness (hints execute inline as
+host bignum code, mirroring gnark's hint system).
+
+The matrices export to the device prover as sparse COO (rows of (coeff,
+var)); witness vectors export as int lists ordered [1, publics, privates].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class LinComb:
+    """Sparse linear combination over witness variables: {var_idx: coeff}."""
+
+    cs: "ConstraintSystem"
+    terms: dict
+
+    def __add__(self, o):
+        o = self.cs.coerce(o)
+        t = dict(self.terms)
+        for k, v in o.terms.items():
+            t[k] = (t.get(k, 0) + v) % self.cs.p
+        return LinComb(self.cs, {k: v for k, v in t.items() if v})
+
+    def __sub__(self, o):
+        o = self.cs.coerce(o)
+        return self + (o * (self.cs.p - 1))
+
+    def __mul__(self, k):
+        if isinstance(k, LinComb):
+            return self.cs.mul(self, k)
+        k = k % self.cs.p
+        return LinComb(self.cs, {i: c * k % self.cs.p for i, c in self.terms.items() if c * k % self.cs.p})
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return self * (self.cs.p - 1)
+
+    @property
+    def value(self) -> int:
+        return (
+            sum(c * self.cs.values[i] for i, c in self.terms.items()) % self.cs.p
+        )
+
+    def is_constant(self):
+        return all(i == 0 for i in self.terms)
+
+
+class ConstraintSystem:
+    """R1CS builder + witness evaluator (single pass).
+
+    Variables: index 0 is the constant ONE; publics come first, then
+    privates.  Construction order must be: all public inputs first (matches
+    Groth16 vk layout), then arbitrary circuit logic.
+    """
+
+    def __init__(self, p: int):
+        self.p = p
+        self.values = [1]
+        self.num_public = 0  # excluding ONE
+        self.constraints = []  # list of (A_terms, B_terms, C_terms) dicts
+        self._public_done = False
+
+    # -- variable creation --------------------------------------------------
+
+    @property
+    def one(self) -> LinComb:
+        return LinComb(self, {0: 1})
+
+    def constant(self, v: int) -> LinComb:
+        return LinComb(self, {0: v % self.p} if v % self.p else {})
+
+    def pub_input(self, value: int) -> LinComb:
+        assert not self._public_done, "public inputs must be allocated first"
+        assert len(self.values) == 1 + self.num_public
+        self.values.append(value % self.p)
+        self.num_public += 1
+        return LinComb(self, {len(self.values) - 1: 1})
+
+    def priv_input(self, value: int) -> LinComb:
+        self._public_done = True
+        self.values.append(value % self.p)
+        return LinComb(self, {len(self.values) - 1: 1})
+
+    def coerce(self, x) -> LinComb:
+        if isinstance(x, LinComb):
+            return x
+        return self.constant(int(x))
+
+    # -- constraints ---------------------------------------------------------
+
+    def raw_constrain(self, a: LinComb, b: LinComb, c: LinComb):
+        """a * b == c."""
+        self.constraints.append((dict(a.terms), dict(b.terms), dict(c.terms)))
+
+    def mul(self, a, b) -> LinComb:
+        a, b = self.coerce(a), self.coerce(b)
+        if a.is_constant():
+            return b * a.value
+        if b.is_constant():
+            return a * b.value
+        z = self.priv_input(a.value * b.value % self.p)
+        self.raw_constrain(a, b, z)
+        return z
+
+    def assert_eq(self, a, b):
+        a, b = self.coerce(a), self.coerce(b)
+        self.raw_constrain(a, self.one, b)
+
+    def assert_zero(self, a):
+        self.assert_eq(a, self.constant(0))
+
+    def assert_bool(self, a):
+        a = self.coerce(a)
+        self.raw_constrain(a, a - self.one, self.constant(0))
+
+    def assert_mul(self, a, b, c):
+        """a * b == c as one constraint (no aux variable)."""
+        self.raw_constrain(self.coerce(a), self.coerce(b), self.coerce(c))
+
+    # -- gadgets --------------------------------------------------------------
+
+    def inv(self, a) -> LinComb:
+        """1/a with a != 0 enforced."""
+        a = self.coerce(a)
+        v = pow(a.value, -1, self.p) if a.value else 0
+        ainv = self.priv_input(v)
+        self.raw_constrain(a, ainv, self.one)
+        return ainv
+
+    def div(self, a, b) -> LinComb:
+        return self.mul(a, self.inv(b))
+
+    def is_zero(self, a) -> LinComb:
+        """1 if a == 0 else 0 (gnark-style: via inverse hint)."""
+        a = self.coerce(a)
+        v = a.value
+        invv = pow(v, -1, self.p) if v else 0
+        m = self.priv_input(invv)
+        out = self.priv_input(1 if v == 0 else 0)
+        # out = 1 - a*m ; a*out = 0
+        self.raw_constrain(a, m, self.one - out)
+        self.raw_constrain(a, out, self.constant(0))
+        self.assert_bool(out)
+        return out
+
+    def select(self, cond, a, b) -> LinComb:
+        """cond ? a : b (cond boolean)."""
+        cond, a, b = self.coerce(cond), self.coerce(a), self.coerce(b)
+        # out = b + cond*(a-b)
+        d = self.mul(cond, a - b)
+        return b + d
+
+    def to_bits(self, a, nbits: int) -> list:
+        """Little-endian bit decomposition with recomposition constraint.
+        NOTE: for nbits close to the field size callers must ensure
+        canonical decomposition separately."""
+        a = self.coerce(a)
+        v = a.value
+        bits = []
+        for i in range(nbits):
+            bits.append(self.priv_input((v >> i) & 1))
+            self.assert_bool(bits[-1])
+        acc = self.constant(0)
+        for i, b in enumerate(bits):
+            acc = acc + b * (1 << i)
+        self.assert_eq(acc, a)
+        return bits
+
+    def from_bits(self, bits) -> LinComb:
+        acc = self.constant(0)
+        for i, b in enumerate(bits):
+            acc = acc + self.coerce(b) * (1 << i)
+        return acc
+
+    def assert_lt_const(self, a, bound: int, nbits: int):
+        """a < bound via bit decomposition of (a) and (bound-1-a)."""
+        a = self.coerce(a)
+        self.to_bits(a, nbits)
+        self.to_bits(self.constant(bound - 1) - a, nbits)
+
+    def poseidon(self, inputs: list) -> LinComb:
+        """In-circuit circomlib Poseidon over BN254 Fr (arity 1..16)."""
+        from davinci_tpu.hash.poseidon import (
+            N_ROUNDS_P,
+            R_F,
+            poseidon_constants,
+        )
+
+        t = len(inputs) + 1
+        assert 1 <= len(inputs) <= 16
+        Cc, M = poseidon_constants(t, self.p)
+        r_p = N_ROUNDS_P[t - 2]
+        half = R_F // 2
+        state = [self.constant(0)] + [self.coerce(x) for x in inputs]
+        ctr = 0
+
+        def sbox5(x):
+            x2 = self.mul(x, x)
+            x4 = self.mul(x2, x2)
+            return self.mul(x4, x)
+
+        def mix(s):
+            return [
+                sum(
+                    (s[j] * M[i][j] for j in range(t)),
+                    self.constant(0),
+                )
+                for i in range(t)
+            ]
+
+        for r in range(R_F + r_p):
+            state = [state[i] + Cc[ctr + i] for i in range(t)]
+            ctr += t
+            is_full = r < half or r >= half + r_p
+            if is_full:
+                state = [sbox5(x) for x in state]
+            else:
+                state = [sbox5(state[0])] + state[1:]
+            state = mix(state)
+        return state[0]
+
+    # -- export ----------------------------------------------------------------
+
+    @property
+    def num_variables(self) -> int:
+        return len(self.values)
+
+    def witness(self) -> list:
+        return list(self.values)
+
+    def public_values(self) -> list:
+        return self.values[1 : 1 + self.num_public]
+
+    def check_satisfied(self) -> bool:
+        for A, B, C in self.constraints:
+            av = sum(c * self.values[i] for i, c in A.items()) % self.p
+            bv = sum(c * self.values[i] for i, c in B.items()) % self.p
+            cv = sum(c * self.values[i] for i, c in C.items()) % self.p
+            if av * bv % self.p != cv:
+                return False
+        return True

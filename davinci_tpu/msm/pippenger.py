@@ -169,7 +169,9 @@ def _horner(curve, sums, W):
 
 def _pad_inputs(curve, xs, ys, zs, scalar_limbs):
     n = xs.shape[0]
-    n_pad = -(-n // COLS) * COLS
+    # bucket to powers of two so only log-many shapes ever compile
+    n_pad = max(COLS, 1 << (n - 1).bit_length() if n > 1 else COLS)
+    n_pad = -(-n_pad // COLS) * COLS
     if n_pad != n:
         extra = n_pad - n
         ident = curve.identity((extra,))
