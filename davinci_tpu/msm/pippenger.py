@@ -268,12 +268,22 @@ def sharded_msm(curve, points, scalar_limbs, mesh, axis_name="shard"):
         return _horner(curve, sums, W)
 
     spec_in = P(axis_name)
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(spec_in, spec_in, spec_in, spec_in),
-        out_specs=(P(), P(), P()),
-    )
+    try:
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec_in, spec_in, spec_in, spec_in),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    except TypeError:  # older jax: the flag was called check_rep
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec_in, spec_in, spec_in, spec_in),
+            out_specs=(P(), P(), P()),
+            check_rep=False,
+        )
     xs, ys, zs = points
     xs, ys, zs, scalar_limbs = _pad_inputs(curve, xs, ys, zs, scalar_limbs)
     # per-device shard must itself be a multiple of COLS
