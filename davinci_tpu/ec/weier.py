@@ -1,17 +1,19 @@
-"""Batched short-Weierstrass point arithmetic on device (a=0 curves).
+"""Batched short-Weierstrass point arithmetic on device (a=0 curves),
+generic over the coordinate field backend (Fp limb vectors or Fp2 pairs).
 
-TPU-first design: points are structure-of-arrays (X, Y, Z) projective limb
-tensors of shape (..., L); every group operation is a fixed branchless
-sequence of batched field ops, so huge batches of point additions vectorize
-across the VPU lanes.  Completeness (no doubling/identity special cases)
-comes from the Renes–Costello–Batina 2015 complete-addition formulas
-(Algorithm 7, a=0, 12M), which is what makes MSM's data-dependent
-accumulation patterns expressible as uniform SPMD code — the idiomatic
-replacement for the per-point branchy Jacobian code gnark-crypto uses on CPU
-(reference prover hot path, SURVEY.md §2.3).
+TPU-first design: points are structure-of-arrays (X, Y, Z) projective
+tensors; every group operation is a fixed branchless sequence of batched
+field ops, so huge batches of point additions vectorize across the VPU
+lanes.  Completeness (no doubling/identity special cases) comes from the
+Renes–Costello–Batina 2015 complete-addition formulas (Algorithm 7, a=0,
+12M), which is what makes MSM's data-dependent accumulation patterns
+expressible as uniform SPMD code — the idiomatic replacement for the
+per-point branchy Jacobian code gnark-crypto uses on CPU (reference prover
+hot path, SURVEY.md §2.3).
 
 All Weierstrass curves in the stack (BN254, BLS12-377, BW6-761, BLS12-381,
-secp256k1) have a=0, so one code path serves them all.
+secp256k1 — G1 and G2) have a=0, so one code path serves them all; G2
+curves over Fp2 just swap in the DeviceQuadExt backend.
 """
 
 from __future__ import annotations
@@ -24,22 +26,42 @@ import numpy as np
 
 from davinci_tpu.fields import LIMB_BITS
 from davinci_tpu.ff import get_device_field
+from davinci_tpu.ff.quad import DeviceQuadExt, get_device_quad
+
+# DeviceField elements are (..., L); make its backend interface explicit
+from davinci_tpu.ff.mod import DeviceField
+
+DeviceField.coord_ndim = 1
 
 
 class DeviceCurve:
-    """Batched projective point ops for a CurveSpec whose coordinate field is
-    a prime field (G1 curves; BW6 G2 also qualifies).
+    """Batched projective point ops for a CurveSpec.
 
-    A point batch is a tuple (X, Y, Z) of (..., L) int32 Montgomery limb
-    arrays.  Identity is (0, 1, 0) (in Montgomery form).
+    A point batch is a tuple (X, Y, Z) of Montgomery limb arrays shaped
+    (..., L) for prime fields or (..., 2, L) for Fp2.
+    Identity is (0, 1, 0).
     """
 
     def __init__(self, spec):
-        assert hasattr(spec.fld, "p"), "DeviceCurve needs a prime-field curve"
         self.spec = spec
-        self.df = get_device_field(spec.field_spec)
-        b = spec.b_ff.v
-        self.b3 = self.df.encode_scalar(3 * b % spec.field_spec.p)
+        fld = spec.fld
+        if hasattr(fld, "p"):  # prime field
+            self.ops = get_device_field(spec.field_spec)
+            self.df = self.ops
+            b = spec.b_ff.v
+            self.b3 = self.ops.encode_scalar(3 * b % spec.field_spec.p)
+        else:  # QuadExt over a prime field
+            self.ops = get_device_quad(spec.field_spec, fld.nr)
+            self.df = self.ops.df
+            b0, b1 = spec.b_ff.v
+            p = spec.field_spec.p
+            self.b3 = jnp.stack(
+                [
+                    self.df.encode_scalar(3 * b0 % p),
+                    self.df.encode_scalar(3 * b1 % p),
+                ]
+            )
+        self._eshape = (2, self.df.L) if self.ops.coord_ndim == 2 else (self.df.L,)
         self.add = jax.jit(self.add)
         self.double = jax.jit(self.double)
         self.scalar_mul = jax.jit(self.scalar_mul)
@@ -47,42 +69,70 @@ class DeviceCurve:
     # -- encoding -----------------------------------------------------------
 
     def identity(self, shape=()) -> tuple:
-        L = self.df.L
-        x = jnp.zeros(shape + (L,), jnp.int32)
-        y = jnp.broadcast_to(self.df.one_mont, shape + (L,))
-        z = jnp.zeros(shape + (L,), jnp.int32)
+        x = jnp.zeros(shape + self._eshape, jnp.int32)
+        y = jnp.broadcast_to(self.ops.one_mont, shape + self._eshape)
+        z = jnp.zeros(shape + self._eshape, jnp.int32)
         return (x, y, z)
+
+    def _enc_coord_list(self, vals):
+        """vals: list of field values (int or (c0,c1) tuple) -> array."""
+        if self.ops.coord_ndim == 1:
+            return self.df.encode(vals)
+        return self.ops.encode(vals)
 
     def encode_points(self, pts) -> tuple:
         """List of host AffinePoints -> (X, Y, Z) batch (Montgomery)."""
+        one = 1 if self.ops.coord_ndim == 1 else (1, 0)
+        zero = 0 if self.ops.coord_ndim == 1 else (0, 0)
         xs, ys, zs = [], [], []
         for pt in pts:
             if pt.infinity:
-                xs.append(0)
-                ys.append(1)
-                zs.append(0)
+                xs.append(zero)
+                ys.append(one)
+                zs.append(zero)
             else:
                 xs.append(pt.x.v)
                 ys.append(pt.y.v)
-                zs.append(1)
-        return (self.df.encode(xs), self.df.encode(ys), self.df.encode(zs))
+                zs.append(one)
+        return (
+            self._enc_coord_list(xs),
+            self._enc_coord_list(ys),
+            self._enc_coord_list(zs),
+        )
 
     def decode_points(self, p) -> list:
         """(X, Y, Z) batch -> list of host AffinePoints."""
         from davinci_tpu.curves import AffinePoint
+        from davinci_tpu.towers import FF
 
-        X = self.df.decode(p[0])
-        Y = self.df.decode(p[1])
-        Z = self.df.decode(p[2])
-        out = []
         fld = self.spec.fld
+        if self.ops.coord_ndim == 1:
+            X = self.df.decode(p[0])
+            Y = self.df.decode(p[1])
+            Z = self.df.decode(p[2])
+            mk = lambda v: fld(v)
+            inv = lambda z: pow(z, -1, fld.p)
+            is0 = lambda z: z == 0
+            mulc = lambda v, zi: fld(v * zi)
+        else:
+            X = self.ops.decode(p[0])
+            Y = self.ops.decode(p[1])
+            Z = self.ops.decode(p[2])
+            mk = lambda v: FF(fld, v)
+            is0 = lambda z: z == (0, 0)
+
+        out = []
         for x, y, z in zip(X, Y, Z):
-            if z == 0:
+            if is0(z):
                 out.append(AffinePoint(self.spec, None, None))
-            else:
+            elif self.ops.coord_ndim == 1:
                 zi = pow(z, -1, fld.p)
+                out.append(AffinePoint(self.spec, fld(x * zi), fld(y * zi)))
+            else:
+                zf = FF(fld, z)
+                zi = zf.inv()
                 out.append(
-                    AffinePoint(self.spec, fld(x * zi), fld(y * zi))
+                    AffinePoint(self.spec, FF(fld, x) * zi, FF(fld, y) * zi)
                 )
         return out
 
@@ -90,7 +140,7 @@ class DeviceCurve:
 
     def add(self, p, q):
         """Complete projective addition, RCB15 Algorithm 7 (a=0, 12M)."""
-        f = self.df
+        f = self.ops
         X1, Y1, Z1 = p
         X2, Y2, Z2 = q
         b3 = jnp.broadcast_to(self.b3, X1.shape)
@@ -126,12 +176,14 @@ class DeviceCurve:
 
     def neg(self, p):
         X, Y, Z = p
-        return (X, self.df.neg(Y), Z)
+        return (X, self.ops.neg(Y), Z)
 
     def select(self, cond, p, q):
         """cond ? p : q, cond shaped like the batch dims."""
-        c = cond[..., None]
-        return tuple(jnp.where(c, a, b) for a, b in zip(p, q))
+        return tuple(self.ops.select(cond, a, b) for a, b in zip(p, q))
+
+    def batch_shape(self, p):
+        return p[0].shape[: p[0].ndim - self.ops.coord_ndim]
 
     def scalar_mul(self, p, scalar_limbs, nbits: int | None = None):
         """Batched double-and-add: scalar_limbs is the *raw* (non-Montgomery)
@@ -139,7 +191,7 @@ class DeviceCurve:
         if nbits is None:
             nbits = self.spec.r.bit_length()
 
-        acc = self.identity(p[0].shape[:-1])
+        acc = self.identity(self.batch_shape(p))
 
         def body_dyn(j, state):
             acc, base = state
@@ -147,9 +199,7 @@ class DeviceCurve:
             bit_idx = j % LIMB_BITS
             limb = jnp.take_along_axis(
                 scalar_limbs,
-                jnp.broadcast_to(
-                    limb_idx, scalar_limbs.shape[:-1] + (1,)
-                ),
+                jnp.broadcast_to(limb_idx, scalar_limbs.shape[:-1] + (1,)),
                 axis=-1,
             )[..., 0]
             bit = (limb >> bit_idx) & 1
@@ -165,7 +215,8 @@ class DeviceCurve:
 
     def to_affine(self, p):
         """(X,Y,Z) -> (x, y, is_inf) with x,y affine Montgomery limbs.
-        Uses batched Fermat inversion; infinity maps to (0, 0, True)."""
+        Prime-field curves only for now (uses Fermat inversion)."""
+        assert self.ops.coord_ndim == 1
         f = self.df
         X, Y, Z = p
         zinv = f.inv(Z)  # inv(0) = 0 by construction

@@ -74,6 +74,7 @@ class Groth16:
         self.g1 = self.ctx.g1
         self.g2 = self.ctx.g2
         self.dc = get_device_curve(self.g1)
+        self.dc2 = get_device_curve(self.g2)
         self.ntt = get_device_ntt(self.fr)
         self.r = self.fr.p
 
@@ -173,8 +174,16 @@ class Groth16:
         return self.dc.decode_points(out)[:n]
 
     def _g2_batch_mul(self, scalars):
-        """Host G2 scalar muls (device Fp2 backend lands next)."""
-        return [self.g2.gen.mul(s) for s in scalars]
+        """[s*G2] — batched device double-and-add over the Fp2 backend."""
+        if not scalars:
+            return []
+        n = len(scalars)
+        n_pad = 1 << (n - 1).bit_length() if n > 1 else 1
+        padded = list(scalars) + [0] * (n_pad - n)
+        base = self.dc2.encode_points([self.g2.gen] * n_pad)
+        S = jnp.asarray(scalars_to_limbs(self.g2, padded))
+        out = self.dc2.scalar_mul(base, S)
+        return self.dc2.decode_points(out)[:n]
 
     # ------------------------------------------------------------------ prove
 
@@ -221,11 +230,7 @@ class Groth16:
         # --- assembly (host, tiny) ---------------------------------------
         A = pk.alpha_g1.add(a_lin).add(pk.delta_g1.mul(rr))
         B1 = pk.beta_g1.add(b1_lin).add(pk.delta_g1.mul(ss))
-        # B in G2 (host MSM until the Fp2 device backend lands)
-        b2_lin = self.g2.infinity()
-        for pt, s in zip(pk.b_g2, z):
-            if s:
-                b2_lin = b2_lin.add(pt.mul(s))
+        b2_lin = self._msm_pts(self.dc2, self.g2, pk.b_g2, z)
         B2 = pk.beta_g2.add(b2_lin).add(pk.delta_g2.mul(ss))
         Cpt = (
             k_lin.add(h_lin)
@@ -236,16 +241,19 @@ class Groth16:
         return Proof(a=A, b=B2, c=Cpt)
 
     def _msm_host_pts(self, pts, scalars):
+        return self._msm_pts(self.dc, self.g1, pts, scalars)
+
+    def _msm_pts(self, dc, gspec, pts, scalars):
         assert len(pts) == len(scalars)
         nz = [(p, s) for p, s in zip(pts, scalars) if s and not p.infinity]
         if not nz:
-            return self.g1.infinity()
+            return gspec.infinity()
         pts_nz = [p for p, _ in nz]
         sc_nz = [s for _, s in nz]
-        P = self.dc.encode_points(pts_nz)
-        S = jnp.asarray(scalars_to_limbs(self.g1, sc_nz))
-        out = msm(self.dc, P, S)
-        return self.dc.decode_points(tuple(a[None] for a in out))[0]
+        P = dc.encode_points(pts_nz)
+        S = jnp.asarray(scalars_to_limbs(gspec, sc_nz))
+        out = msm(dc, P, S)
+        return dc.decode_points(tuple(a[None] for a in out))[0]
 
     # ----------------------------------------------------------------- verify
 

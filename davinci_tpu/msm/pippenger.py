@@ -52,7 +52,8 @@ def _bucket_accumulate(curve, xs, ys, zs, keys):
     Returns bucket arrays (NBUCKETS+1, L) x3 (identity where empty; slot
     NBUCKETS is the padding sink).
     """
-    n, L = xs.shape
+    n = keys.shape[0]
+    trailing = xs.shape[1:]  # (L,) for Fp coords, (2, L) for Fp2
     assert n % COLS == 0
     rows = n // COLS
 
@@ -62,7 +63,9 @@ def _bucket_accumulate(curve, xs, ys, zs, keys):
 
     # column-major layout: column c owns sorted slice [c*rows, (c+1)*rows)
     k2 = k.reshape(COLS, rows).T  # (rows, COLS)
-    p2 = tuple(a.reshape(COLS, rows, L).transpose(1, 0, 2) for a in pts)
+    p2 = tuple(
+        jnp.moveaxis(a.reshape((COLS, rows) + trailing), 0, 1) for a in pts
+    )
 
     buckets0 = curve.identity((NBUCKETS + 1,))
 
