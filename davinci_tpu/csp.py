@@ -1,0 +1,113 @@
+"""CSP (credential service provider): EdDSA-BabyJubJub certificate census.
+
+Role parity: reference crypto/csp/ (csp.go CSP interface; eddsa/
+babyjubjub_eddsa.go sign(voterIndex, processID, address, weight) with
+Poseidon challenge; census root = Poseidon(pubkey)).
+
+The signature equation and Poseidon-5 challenge match iden3's
+babyjub.SignPoseidon verification (S*B8 == R8 + c*A, c = Poseidon(R8.x,
+R8.y, A.x, A.y, msg)), so signatures verify under iden3 tooling.  Key and
+nonce derivation use SHA-512 where iden3 uses legacy Blake-512 — this
+affects only which keypair a seed maps to, not verifiability (TODO round 2:
+Blake-512 for seed-for-seed parity).
+
+Points are kept in TE (iden3) coordinates here because iden3's EdDSA is
+defined on them; conversion helpers bridge to the RTE protocol layer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from davinci_tpu import fields as F
+from davinci_tpu.curves import babyjubjub as te
+from davinci_tpu.hash import poseidon_hash
+
+ORDER = F.BABYJUBJUB_L
+CENSUS_ORIGIN_CSP_EDDSA_BJJ_V1 = 13  # types.CensusOriginCSPEdDSABabyJubJubV1
+
+
+def _prune_scalar(h32: bytes) -> int:
+    """Ed25519-style clamping as iden3 babyjub does, then >> 3."""
+    b = bytearray(h32)
+    b[0] &= 0xF8
+    b[31] &= 0x7F
+    b[31] |= 0x40
+    return int.from_bytes(bytes(b), "little") >> 3
+
+
+@dataclass
+class EdDSASignature:
+    r8: tuple  # TE point
+    s: int
+
+
+class BabyJubJubEdDSA:
+    def __init__(self, seed: bytes):
+        assert seed, "seed cannot be empty"
+        self._key = hashlib.sha512(seed).digest()
+        self.scalar = _prune_scalar(self._key[:32]) % ORDER
+        self.public = te.mul(te.base8, self.scalar)
+
+    def census_root(self) -> int:
+        return poseidon_hash([self.public[0], self.public[1]])
+
+    def sign(self, msg: int) -> EdDSASignature:
+        """Deterministic nonce from the key's second half + message."""
+        msg %= F.BN254_R
+        r_src = hashlib.sha512(
+            self._key[32:] + msg.to_bytes(32, "little")
+        ).digest()
+        r = int.from_bytes(r_src, "little") % ORDER
+        r8 = te.mul(te.base8, r)
+        c = poseidon_hash([r8[0], r8[1], self.public[0], self.public[1], msg])
+        s = (r + c * self.scalar) % ORDER
+        return EdDSASignature(r8, s)
+
+    @staticmethod
+    def verify(public: tuple, msg: int, sig: EdDSASignature) -> bool:
+        msg %= F.BN254_R
+        c = poseidon_hash(
+            [sig.r8[0], sig.r8[1], public[0], public[1], msg]
+        )
+        lhs = te.mul(te.base8, sig.s)
+        rhs = te.add(sig.r8, te.mul(public, c))
+        return lhs == rhs
+
+    # -- census proof surface (reference csp.go GenerateProof/VerifyProof) ---
+
+    def generate_proof(
+        self, process_id: int, address: int, weight: int, voter_index: int = 0
+    ) -> dict:
+        msg = csp_message(voter_index, process_id, address, weight)
+        sig = self.sign(msg)
+        return {
+            "census_origin": CENSUS_ORIGIN_CSP_EDDSA_BJJ_V1,
+            "root": self.census_root(),
+            "public_key": self.public,
+            "address": address,
+            "process_id": process_id,
+            "weight": weight,
+            "voter_index": voter_index,
+            "signature": sig,
+        }
+
+    @staticmethod
+    def verify_proof(proof: dict) -> bool:
+        pub = proof["public_key"]
+        if poseidon_hash([pub[0], pub[1]]) != proof["root"]:
+            return False
+        msg = csp_message(
+            proof["voter_index"],
+            proof["process_id"],
+            proof["address"],
+            proof["weight"],
+        )
+        return BabyJubJubEdDSA.verify(pub, msg, proof["signature"])
+
+
+def csp_message(voter_index: int, process_id: int, address: int, weight: int) -> int:
+    """Poseidon binding of (voterIndex, processID, address, weight)
+    (reference eddsa signatureMessage)."""
+    return poseidon_hash([voter_index, process_id, address, weight])

@@ -1,0 +1,64 @@
+"""CSP EdDSA and DKG/threshold decryption."""
+
+import random
+
+from davinci_tpu import dkg
+from davinci_tpu.csp import BabyJubJubEdDSA
+from davinci_tpu.elgamal import encrypt_with_k
+from davinci_tpu.elgamal.bjj import GENERATOR
+from davinci_tpu.elgamal.core import baby_step_giant_step
+
+
+def test_eddsa_sign_verify():
+    signer = BabyJubJubEdDSA(b"seed-1")
+    msg = 123456789
+    sig = signer.sign(msg)
+    assert BabyJubJubEdDSA.verify(signer.public, msg, sig)
+    assert not BabyJubJubEdDSA.verify(signer.public, msg + 1, sig)
+    # deterministic
+    assert signer.sign(msg) == sig
+    # different seed -> different key
+    assert BabyJubJubEdDSA(b"seed-2").public != signer.public
+
+
+def test_csp_proof_roundtrip():
+    signer = BabyJubJubEdDSA(b"csp-seed")
+    proof = signer.generate_proof(process_id=77, address=0xABC, weight=3)
+    assert BabyJubJubEdDSA.verify_proof(proof)
+    proof["weight"] = 4
+    assert not BabyJubJubEdDSA.verify_proof(proof)
+
+
+def test_dkg_threshold_decrypt():
+    r = random.Random(11)
+    ids = [1, 2, 3, 4, 5]
+    parts, pk = dkg.run_dkg(ids, threshold=3, rng=r)
+
+    msg = 4242
+    c1, c2 = encrypt_with_k(pk, msg, r.randrange(1, 2**200))
+
+    # any 3 participants decrypt
+    subset = [2, 4, 5]
+    partials = {
+        i: dkg.partial_decrypt(parts[i].private_share, c1) for i in subset
+    }
+    M = dkg.combine_partials(partials, c2)
+    assert baby_step_giant_step(M, 10**5) == msg
+
+    # 2 participants cannot
+    partials2 = {i: partials[i] for i in subset[:2]}
+    M2 = dkg.combine_partials(partials2, c2)
+    assert M2 != M
+
+
+def test_dkg_bad_share_rejected():
+    r = random.Random(12)
+    ids = [1, 2, 3]
+    parts = {i: dkg.Participant(i, 2, ids) for i in ids}
+    for p in parts.values():
+        p.generate_polynomial(r)
+        p.compute_shares()
+    import pytest
+
+    with pytest.raises(ValueError):
+        parts[1].receive_share(2, parts[2].shares_out[1] + 1, parts[2].public_coeffs)
