@@ -1,0 +1,261 @@
+"""HTTP API: REST surface for votes, processes, censuses, stats, workers.
+
+Role parity: reference api/ (routes.go:11-63 route table, vote.go:185+
+newVote validation flow, workers.go master endpoints, info.go).  Built on
+the stdlib http.server (the image carries no web framework); handlers are
+plain methods over the sequencer/census/storage objects, so they are unit-
+testable without sockets and servable with ThreadingHTTPServer.
+
+Vote intake (POST /votes) validates: payload shape, vote-ID recomputation,
+EIP-191 signature recovery to the claimed address, census membership
+(Merkle or CSP), then queues the pending ballot — mirroring
+api/vote.go:185+ (the circom ballot-proof re-verification slot is wired but
+lands with the ballotproof circuit)."""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from davinci_tpu import spec
+from davinci_tpu.census import CensusDB
+from davinci_tpu.csp import BabyJubJubEdDSA
+from davinci_tpu.sequencer.pipeline import Sequencer, ballot_from_wire
+from davinci_tpu.storage import VoteIDStatus
+from davinci_tpu import ethereum as eth
+
+
+class ApiError(Exception):
+    def __init__(self, code: int, msg: str):
+        super().__init__(msg)
+        self.code = code
+        self.msg = msg
+
+
+class API:
+    """Route table + handlers; transport-agnostic."""
+
+    def __init__(self, sequencer: Sequencer, census_db: CensusDB):
+        self.seq = sequencer
+        self.census = census_db
+        self.routes = [
+            ("POST", re.compile(r"^/votes$"), self.post_vote),
+            ("GET", re.compile(r"^/votes/(\d+)/process/(\d+)/status$"), self.vote_status),
+            ("GET", re.compile(r"^/processes$"), self.list_processes),
+            ("GET", re.compile(r"^/processes/(\d+)$"), self.get_process),
+            ("POST", re.compile(r"^/censuses$"), self.new_census),
+            ("POST", re.compile(r"^/censuses/([\w-]+)/participants$"), self.add_participants),
+            ("GET", re.compile(r"^/censuses/([\w-]+)/root$"), self.census_root),
+            ("GET", re.compile(r"^/censuses/([\w-]+)/size$"), self.census_size),
+            ("POST", re.compile(r"^/censuses/([\w-]+)/publish$"), self.publish_census),
+            ("GET", re.compile(r"^/censuses/(\d+)/proof/(\d+)$"), self.census_proof),
+            ("GET", re.compile(r"^/sequencer/stats/(\d+)$"), self.stats),
+            ("GET", re.compile(r"^/info$"), self.info),
+        ]
+
+    def dispatch(self, method: str, path: str, body: dict | None) -> dict:
+        for m, rx, fn in self.routes:
+            if m != method:
+                continue
+            match = rx.match(path)
+            if match:
+                return fn(*match.groups(), body=body)
+        raise ApiError(404, f"no route for {method} {path}")
+
+    # -- votes ---------------------------------------------------------------
+
+    def post_vote(self, body: dict):
+        """reference api/vote.go newVote: shape checks, signature, census
+        membership, then PushPendingBallot."""
+        try:
+            pid = int(body["processID"])
+            address = int(body["address"], 16) if isinstance(body["address"], str) else int(body["address"])
+            vote_id = int(body["voteID"])
+            ballot_coords = [int(x) for x in body["ballot"]]
+            weight = int(body.get("weight", 1))
+            sig = body["signature"]
+        except (KeyError, ValueError, TypeError) as e:
+            raise ApiError(400, f"malformed vote: {e}")
+
+        if pid not in self.seq.states:
+            raise ApiError(404, "unknown process")
+        if len(ballot_coords) != spec.FIELDS_PER_BALLOT * 4:
+            raise ApiError(400, "bad ballot shape")
+        if not (spec.VOTE_ID_MIN <= vote_id <= spec.VOTE_ID_MAX):
+            raise ApiError(400, "vote ID out of range")
+        if self.seq.storage.vote_status(pid, vote_id) is not None:
+            raise ApiError(409, "vote ID already submitted")
+
+        # EIP-191 signature over the vote ID binds the voter address
+        payload = vote_id.to_bytes(8, "big").rjust(32, b"\x00")
+        rec_addr = eth.recover_address(
+            payload, int(sig["r"]), int(sig["s"]), int(sig["rec"])
+        )
+        if rec_addr is None or int.from_bytes(rec_addr, "big") != address:
+            raise ApiError(401, "signature does not match address")
+
+        # census membership
+        cproof = body.get("censusProof")
+        if cproof is None:
+            raise ApiError(400, "census proof required")
+        self._check_census(pid, address, cproof)
+
+        ballot = ballot_from_wire(ballot_coords)
+        self.seq.submit_ballot(pid, address, ballot, vote_id, weight)
+        return {"status": "pending", "voteID": vote_id}
+
+    def _check_census(self, pid: int, address: int, cproof: dict):
+        kind = cproof.get("kind")
+        if kind == "merkle":
+            proof = dict(cproof["proof"])
+            proof["siblings"] = [int(s) for s in proof["siblings"]]
+            proof["root"] = int(proof["root"])
+            proof["leaf"] = int(proof["leaf"])
+            proof["address"] = int(proof["address"])
+            proof["weight"] = int(proof["weight"])
+            proof["path_bits"] = [int(b) for b in proof["path_bits"]]
+            if proof["address"] != address or not CensusDB.verify_proof(proof):
+                raise ApiError(401, "census proof invalid")
+        elif kind == "csp":
+            from davinci_tpu.csp import EdDSASignature
+
+            p = dict(cproof["proof"])
+            p["public_key"] = tuple(int(v) for v in p["public_key"])
+            p["root"] = int(p["root"])
+            p["address"] = int(p["address"])
+            p["process_id"] = int(p["process_id"])
+            p["weight"] = int(p["weight"])
+            p["voter_index"] = int(p.get("voter_index", 0))
+            s = p["signature"]
+            p["signature"] = EdDSASignature(
+                (int(s["r8x"]), int(s["r8y"])), int(s["s"])
+            )
+            if p["address"] != address or not BabyJubJubEdDSA.verify_proof(p):
+                raise ApiError(401, "csp proof invalid")
+        else:
+            raise ApiError(400, f"unknown census proof kind {kind}")
+
+    def vote_status(self, vote_id: str, pid: str, body=None):
+        st = self.seq.storage.vote_status(int(pid), int(vote_id))
+        if st is None:
+            raise ApiError(404, "unknown vote")
+        return {"status": VoteIDStatus(st).name.lower()}
+
+    # -- processes -----------------------------------------------------------
+
+    def list_processes(self, body=None):
+        return {"processes": sorted(self.seq.states.keys())}
+
+    def get_process(self, pid: str, body=None):
+        pid = int(pid)
+        if pid not in self.seq.states:
+            raise ApiError(404, "unknown process")
+        info = self.seq.chain.processes.get(pid)
+        st = self.seq.states[pid]
+        return {
+            "processID": pid,
+            "stateRoot": str(st.root),
+            "chainRoot": str(info.state_root) if info else None,
+            "ended": bool(info.ended) if info else False,
+            "results": [str(x) for x in info.results] if info and info.results else None,
+        }
+
+    # -- censuses ------------------------------------------------------------
+
+    def new_census(self, body=None):
+        ref = self.census.new()
+        return {"censusID": ref.census_id}
+
+    def add_participants(self, cid: str, body: dict):
+        if cid not in self.census.by_id:
+            raise ApiError(404, "unknown census")
+        for p in body.get("participants", []):
+            self.census.insert(cid, int(p["address"]), int(p.get("weight", 1)))
+        return {"size": self.census.by_id[cid].tree.size}
+
+    def census_root(self, cid: str, body=None):
+        return {"root": str(self.census.by_id[cid].tree.root)}
+
+    def census_size(self, cid: str, body=None):
+        return {"size": self.census.by_id[cid].tree.size}
+
+    def publish_census(self, cid: str, body=None):
+        return {"root": str(self.census.publish(cid))}
+
+    def census_proof(self, root: str, address: str, body=None):
+        try:
+            p = self.census.proof_by_root(int(root), int(address))
+        except KeyError:
+            raise ApiError(404, "unknown root or address")
+        return {
+            "proof": {
+                **{k: str(v) for k, v in p.items() if k not in ("siblings", "path_bits")},
+                "siblings": [str(s) for s in p["siblings"]],
+                "path_bits": p["path_bits"],
+            }
+        }
+
+    # -- info / stats --------------------------------------------------------
+
+    def stats(self, pid: str, body=None):
+        return self.seq.storage.stats(int(pid))
+
+    def info(self, body=None):
+        return {
+            "name": "davinci-tpu",
+            "processes": len(self.seq.states),
+            "queues": {
+                q: getattr(self.seq.storage, q).size()
+                for q in self.seq.storage.QUEUES
+            },
+        }
+
+
+# ---------------------------------------------------------------------------
+# HTTP transport
+# ---------------------------------------------------------------------------
+
+
+def serve(api: API, host: str = "127.0.0.1", port: int = 0):
+    """Start a ThreadingHTTPServer; returns (server, thread)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def _respond(self, code: int, payload: dict):
+            data = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _handle(self, method):
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            body = None
+            if length:
+                try:
+                    body = json.loads(self.rfile.read(length))
+                except json.JSONDecodeError:
+                    return self._respond(400, {"error": "bad json"})
+            try:
+                out = api.dispatch(method, self.path, body)
+                self._respond(200, out)
+            except ApiError as e:
+                self._respond(e.code, {"error": e.msg})
+            except Exception as e:  # pragma: no cover
+                self._respond(500, {"error": str(e)})
+
+        def do_GET(self):
+            self._handle("GET")
+
+        def do_POST(self):
+            self._handle("POST")
+
+        def log_message(self, *a):
+            pass
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread
