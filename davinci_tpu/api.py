@@ -37,10 +37,14 @@ class ApiError(Exception):
 class API:
     """Route table + handlers; transport-agnostic."""
 
-    def __init__(self, sequencer: Sequencer, census_db: CensusDB):
+    def __init__(self, sequencer: Sequencer, census_db: CensusDB, jobs_manager=None):
         self.seq = sequencer
         self.census = census_db
+        self.jobs = jobs_manager
         self.routes = [
+            ("GET", re.compile(r"^/workers/([\w-]+)/job$"), self.worker_get_job),
+            ("POST", re.compile(r"^/workers/([\w-]+)/job/([\w:-]+)$"), self.worker_submit_job),
+            ("GET", re.compile(r"^/sequencer/workers$"), self.worker_stats),
             ("POST", re.compile(r"^/votes$"), self.post_vote),
             ("GET", re.compile(r"^/votes/(\d+)/process/(\d+)/status$"), self.vote_status),
             ("GET", re.compile(r"^/processes$"), self.list_processes),
@@ -196,6 +200,27 @@ class API:
                 "path_bits": p["path_bits"],
             }
         }
+
+    # -- workers (reference api/workers.go:230-288) --------------------------
+
+    def worker_get_job(self, wid: str, body=None):
+        if self.jobs is None:
+            raise ApiError(404, "worker API disabled")
+        job = self.jobs.get_job(wid)
+        if job is None:
+            return {}
+        return job
+
+    def worker_submit_job(self, wid: str, job_id: str, body: dict):
+        if self.jobs is None:
+            raise ApiError(404, "worker API disabled")
+        ok = self.jobs.submit_job(wid, job_id, body or {})
+        return {"accepted": bool(ok)}
+
+    def worker_stats(self, body=None):
+        if self.jobs is None:
+            raise ApiError(404, "worker API disabled")
+        return {"workers": self.jobs.wm.snapshot()}
 
     # -- info / stats --------------------------------------------------------
 
