@@ -80,13 +80,25 @@ def conv_low(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def carry_fix(cols: jnp.ndarray, n_out: int) -> jnp.ndarray:
-    """Carry/borrow normalisation of signed column sums to canonical limbs.
+def _shift_pass(v: jnp.ndarray) -> jnp.ndarray:
+    lo = v & LIMB_MASK
+    hi = v >> LIMB_BITS  # arithmetic shift: borrow-safe
+    hi = jnp.concatenate([jnp.zeros_like(hi[..., :1]), hi[..., :-1]], axis=-1)
+    return lo + hi
 
-    Requirements: the represented total is >= 0 and carries beyond n_out are
-    semantically droppable (value < 2^(12*n_out), or caller wants mod R).
-    Each pass moves every limb's carry up one position; a while_loop runs
-    until all limbs are canonical (typically 3-4 passes).
+
+def carry_fix(cols: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """Exact, branchless carry/borrow normalisation of signed column sums
+    (|col| < 2^30) to canonical limbs; carries beyond n_out are dropped
+    (mod 2^(12*n_out) semantics — callers arrange the total is >= 0 and in
+    range, or explicitly want the wrap).
+
+    Three vectorized shift passes bound every residual carry to {-1, 0, 1};
+    the remainder is a carry-lookahead where each position is a monotone
+    step function {-1,0,1} -> {-1,0,1}, composed associatively (a 3-state
+    generalisation of the classic generate/propagate scan).  Zero control
+    flow: everything is data-parallel and log-depth, which is what keeps
+    field ops latency-free on TPU.
     """
     x = cols
     if x.shape[-1] < n_out:
@@ -94,16 +106,28 @@ def carry_fix(cols: jnp.ndarray, n_out: int) -> jnp.ndarray:
         x = jnp.pad(x, pad)
     x = x[..., :n_out]
 
-    def canonical(v):
-        return jnp.all((v >> LIMB_BITS) == 0)
+    # bounds: 2^30 -> ~2^18 -> [-128, 4223] -> [-1, 4096]
+    x = _shift_pass(_shift_pass(_shift_pass(x)))
 
-    def body(v):
-        lo = v & LIMB_MASK
-        hi = v >> LIMB_BITS  # arithmetic shift: handles borrows
-        hi = jnp.concatenate([jnp.zeros_like(hi[..., :1]), hi[..., :-1]], axis=-1)
-        return lo + hi
+    # per-position carry map f(c) = (v + c) >> 12 for c in {-1, 0, 1}
+    fm = (x - 1) >> LIMB_BITS
+    fz = x >> LIMB_BITS
+    fp = (x + 1) >> LIMB_BITS
 
-    return jax.lax.while_loop(lambda v: ~canonical(v), body, x)
+    def compose(a, b):
+        # b after a: (b∘a)(c) = b[a(c)]
+        am, az, ap = a
+        bm, bz, bp = b
+
+        def idx(v):
+            return jnp.where(v < 0, bm, jnp.where(v == 0, bz, bp))
+
+        return idx(am), idx(az), idx(ap)
+
+    sm, sz, sp = jax.lax.associative_scan(compose, (fm, fz, fp), axis=-1)
+    # carry into position i = composed map of positions [0, i) applied to 0
+    cin = jnp.concatenate([jnp.zeros_like(sz[..., :1]), sz[..., :-1]], axis=-1)
+    return (x + cin) & LIMB_MASK
 
 
 # backwards-compatible exact scan variant (used in tests as a reference)
@@ -208,15 +232,27 @@ class DeviceField:
     # -- core ops -----------------------------------------------------------
 
     def _csub_p(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x in [0, 2p) as canonical limbs -> x mod p."""
-        d = x - self.p_limbs
-        neg = _sign_of_diff(d) < 0
-        fixed = carry_fix(d + jnp.where(neg[..., None], self.p_limbs, 0), self.L)
-        return fixed
+        """x in [0, 2p) as canonical limbs -> x mod p.
+
+        Branchless: propagate (x - p) over L+1 limbs; the top limb comes out
+        0 on no-borrow and 4095 (= wrapped -1) on underflow."""
+        l = self.L
+        ext = jnp.concatenate(
+            [x - self.p_limbs, jnp.zeros(x.shape[:-1] + (1,), jnp.int32)],
+            axis=-1,
+        )
+        d = carry_fix(ext, l + 1)
+        borrow = d[..., l] != 0
+        return jnp.where(borrow[..., None], x, d[..., :l])
 
     def _lt(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Lexicographic a < b over canonical limbs, batched -> (...,) bool."""
-        return _sign_of_diff(a - b) < 0
+        l = a.shape[-1]
+        ext = jnp.concatenate(
+            [a - b, jnp.zeros(a.shape[:-1] + (1,), jnp.int32)], axis=-1
+        )
+        d = carry_fix(ext, l + 1)
+        return d[..., l] != 0
 
     def _redc(self, t: jnp.ndarray) -> jnp.ndarray:
         """Montgomery reduction of a canonical 2L-limb value t < R*p."""

@@ -202,18 +202,23 @@ class DevicePoseidon:
     def _sum_mod(self, terms: jnp.ndarray) -> jnp.ndarray:
         """Sum over axis -2 of Montgomery limb values (k <= 17 terms),
         reduced mod p: integer column sum + carry + descending conditional
-        subtracts of 2^j * p."""
-        from davinci_tpu.ff.mod import _sign_of_diff
-
+        subtracts of 2^j * p (branchless: borrow read off an extra limb)."""
         df = self.df
         k = terms.shape[-2]
         cols = jnp.sum(terms, axis=-2, dtype=jnp.int32)
         x = carry_fix(cols, df.L + 1)
         jtop = max(0, (k - 1).bit_length() - 1) + 1  # 2^jtop >= k
         for jj in range(jtop, -1, -1):
-            d = x - self._p_mults[jj]
-            neg = _sign_of_diff(d) < 0
-            x = jnp.where(neg[..., None], x, carry_fix(d, df.L + 1))
+            ext = jnp.concatenate(
+                [
+                    x - self._p_mults[jj],
+                    jnp.zeros(x.shape[:-1] + (1,), jnp.int32),
+                ],
+                axis=-1,
+            )
+            d = carry_fix(ext, df.L + 2)
+            borrow = d[..., df.L + 1] != 0
+            x = jnp.where(borrow[..., None], x, d[..., : df.L + 1])
         return x[..., : df.L]
 
     def permute(self, state: jnp.ndarray) -> jnp.ndarray:

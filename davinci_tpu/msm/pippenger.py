@@ -41,7 +41,7 @@ from davinci_tpu.fields import LIMB_BITS
 
 WINDOW_BITS = LIMB_BITS
 NBUCKETS = 1 << WINDOW_BITS  # bucket 0 contributes nothing (b * S_0 with b=0)
-COLS = 512  # scan width: batched point-adds per sequential step
+COLS = 2048  # scan width: batched point-adds per sequential step
 
 
 def _bucket_accumulate(curve, xs, ys, zs, keys):
@@ -88,31 +88,34 @@ def _bucket_accumulate(curve, xs, ys, zs, keys):
         step, (buckets0, init_acc, init_key), rows_rest
     )
 
-    # merge per-column leftovers (cross-column runs): sequential fold
-    def leftover(c, carry):
-        buckets, run, run_key = carry
-        key_c = acc_key[c]
-        pt_c = tuple(a[c] for a in acc)
-        same = key_c == run_key
-        merged = curve.add(run, pt_c)
-        # flush `run` into buckets[run_key] when key changes; when the key is
-        # unchanged, write back the value just read (a no-op update)
-        cur = tuple(b[run_key] for b in buckets)
-        flushed = curve.add(cur, run)
-        val = curve.select(jnp.asarray(same), cur, flushed)
-        buckets = tuple(
-            b.at[run_key].set(v) for b, v in zip(buckets, val)
+    # merge per-column leftovers (cross-column runs) in log depth: a
+    # segmented suffix-sum over the (sorted) leftover keys, then one
+    # conflict-free scatter-add at each run start.
+    s = acc
+    keys_l = acc_key
+    stride = 1
+    while stride < COLS:
+        pk = jnp.concatenate(
+            [keys_l[stride:], jnp.full((stride,), -1, jnp.int32)]
         )
-        run = curve.select(jnp.asarray(same), merged, pt_c)
-        return (buckets, run, jnp.where(same, run_key, key_c))
+        ident = curve.identity((stride,))
+        ps = tuple(
+            jnp.concatenate([a[stride:], i0], axis=0)
+            for a, i0 in zip(s, ident)
+        )
+        same = keys_l == pk
+        s = curve.select(same, curve.add(s, ps), s)
+        stride *= 2
 
-    run0 = tuple(a[0] for a in acc)
-    buckets, run, run_key = jax.lax.fori_loop(
-        1, COLS, leftover, (buckets, run0, acc_key[0])
+    start = jnp.concatenate(
+        [jnp.ones((1,), bool), keys_l[1:] != keys_l[:-1]]
     )
-    cur = tuple(b[run_key] for b in buckets)
-    final = curve.add(cur, run)
-    buckets = tuple(b.at[run_key].set(f) for b, f in zip(buckets, final))
+    cur = tuple(b[keys_l] for b in buckets)
+    merged = curve.add(cur, s)
+    idx = jnp.where(start, keys_l, NBUCKETS + 1)  # OOB -> dropped
+    buckets = tuple(
+        b.at[idx].set(m, mode="drop") for b, m in zip(buckets, merged)
+    )
     return buckets
 
 

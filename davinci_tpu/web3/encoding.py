@@ -1,0 +1,132 @@
+"""Ethereum wire encodings: RLP and (a practical subset of) ABI.
+
+Role parity: the go-ethereum encoding machinery behind the reference's
+web3/contracts.go bindings and solidity/solidity.go proof encoding.
+Covers what the node needs: static tuples, uint256/address/bytes32,
+dynamic bytes and arrays, nested tuples for Groth16 proof submission.
+"""
+
+from __future__ import annotations
+
+from davinci_tpu.ethereum import keccak256
+
+# ---------------------------------------------------------------------------
+# RLP
+# ---------------------------------------------------------------------------
+
+
+def rlp_encode(item) -> bytes:
+    """item: bytes | int | list (recursively)."""
+    if isinstance(item, int):
+        if item == 0:
+            payload = b""
+        else:
+            payload = item.to_bytes((item.bit_length() + 7) // 8, "big")
+        return rlp_encode(payload)
+    if isinstance(item, (bytes, bytearray)):
+        item = bytes(item)
+        if len(item) == 1 and item[0] < 0x80:
+            return item
+        return _rlp_len(len(item), 0x80) + item
+    if isinstance(item, (list, tuple)):
+        payload = b"".join(rlp_encode(x) for x in item)
+        return _rlp_len(len(payload), 0xC0) + payload
+    raise TypeError(type(item))
+
+
+def _rlp_len(n: int, offset: int) -> bytes:
+    if n < 56:
+        return bytes([offset + n])
+    nb = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return bytes([offset + 55 + len(nb)]) + nb
+
+
+# ---------------------------------------------------------------------------
+# ABI
+# ---------------------------------------------------------------------------
+
+
+def function_selector(signature: str) -> bytes:
+    return keccak256(signature.encode())[:4]
+
+
+def _is_dynamic(typ) -> bool:
+    if isinstance(typ, list):  # tuple
+        return any(_is_dynamic(t) for t in typ)
+    if typ.endswith("[]") or typ in ("bytes", "string"):
+        return True
+    return False
+
+
+def _enc_static(typ, val) -> bytes:
+    if typ == "address":
+        v = val if isinstance(val, int) else int.from_bytes(val, "big")
+        return v.to_bytes(32, "big")
+    if typ.startswith("uint") or typ.startswith("int"):
+        return (int(val) % 2**256).to_bytes(32, "big")
+    if typ == "bool":
+        return int(bool(val)).to_bytes(32, "big")
+    if typ.startswith("bytes") and typ != "bytes":
+        n = int(typ[5:])
+        b = bytes(val)
+        assert len(b) == n
+        return b + b"\x00" * (32 - n)
+    raise TypeError(typ)
+
+
+def abi_encode(types: list, values: list) -> bytes:
+    """Standard head/tail ABI encoding.  A type is a string or a list of
+    types (= tuple)."""
+    assert len(types) == len(values)
+    heads, tails = [], []
+    # compute head size first
+    head_size = 0
+    for t in types:
+        if _is_dynamic(t):
+            head_size += 32
+        elif isinstance(t, list):
+            head_size += 32 * _static_words(t)
+        else:
+            head_size += 32
+
+    offset = head_size
+    for t, v in zip(types, values):
+        if _is_dynamic(t):
+            tail = _enc_tail(t, v)
+            heads.append(offset.to_bytes(32, "big"))
+            tails.append(tail)
+            offset += len(tail)
+        elif isinstance(t, list):
+            heads.append(abi_encode(t, list(v)))
+        else:
+            heads.append(_enc_static(t, v))
+    return b"".join(heads) + b"".join(tails)
+
+
+def _static_words(types: list) -> int:
+    n = 0
+    for t in types:
+        if isinstance(t, list):
+            n += _static_words(t)
+        else:
+            n += 1
+    return n
+
+
+def _enc_tail(typ, val) -> bytes:
+    if typ in ("bytes", "string"):
+        b = val.encode() if isinstance(val, str) else bytes(val)
+        pad = (-len(b)) % 32
+        return len(b).to_bytes(32, "big") + b + b"\x00" * pad
+    if isinstance(typ, str) and typ.endswith("[]"):
+        inner = typ[:-2]
+        out = len(val).to_bytes(32, "big")
+        out += abi_encode([inner] * len(val), list(val))
+        return out
+    if isinstance(typ, list):
+        return abi_encode(typ, list(val))
+    raise TypeError(typ)
+
+
+def encode_call(signature: str, types: list, values: list) -> bytes:
+    return function_selector(signature) + abi_encode(types, values)
