@@ -91,21 +91,21 @@ def _bucket_accumulate(curve, xs, ys, zs, keys):
     # merge per-column leftovers (cross-column runs) in log depth: a
     # segmented suffix-sum over the (sorted) leftover keys, then one
     # conflict-free scatter-add at each run start.
-    s = acc
     keys_l = acc_key
-    stride = 1
-    while stride < COLS:
-        pk = jnp.concatenate(
-            [keys_l[stride:], jnp.full((stride,), -1, jnp.int32)]
-        )
-        ident = curve.identity((stride,))
-        ps = tuple(
-            jnp.concatenate([a[stride:], i0], axis=0)
-            for a, i0 in zip(s, ident)
+    col_iota = jnp.arange(COLS, dtype=jnp.int32)
+    ident_cols = curve.identity((COLS,))
+
+    def suffix_step(i, s):
+        stride = 1 << i
+        valid = col_iota < (COLS - stride)
+        pk = jnp.where(valid, jnp.roll(keys_l, -stride), -1)
+        ps = curve.select(
+            valid, tuple(jnp.roll(a, -stride, axis=0) for a in s), ident_cols
         )
         same = keys_l == pk
-        s = curve.select(same, curve.add(s, ps), s)
-        stride *= 2
+        return curve.select(same, curve.add(s, ps), s)
+
+    s = jax.lax.fori_loop(0, COLS.bit_length() - 1, suffix_step, acc)
 
     start = jnp.concatenate(
         [jnp.ones((1,), bool), keys_l[1:] != keys_l[:-1]]
