@@ -8,25 +8,25 @@ SURVEY.md §2.3) — the #1 kernel target of BASELINE.json.
 Design:
   * Window size == LIMB_BITS (12): the j-th scalar limb *is* the bucket
     index for window j — no bit plumbing.
-  * Bucket accumulation per window: sort points by bucket index, lay the
-    sorted stream out column-major as (rows, COLS) and run ONE lax.scan down
-    the rows.  Each column maintains a running segment accumulator; when a
-    column's key changes, the finished segment total is scattered into the
-    bucket array.  Because a key's run is contiguous in sorted order, at most
-    one column emits a given bucket mid-scan — scatters are conflict-free —
-    and cross-column boundary runs surface as per-column leftovers that a
-    small fori_loop merges afterwards.  Total group work: exactly one point
-    addition per point per window (optimal Pippenger), in n/COLS sequential
-    steps of COLS-wide batched complete additions — long vectors for the
-    VPU, one addition-graph instantiation for the compiler.
+  * ALL windows are processed simultaneously: batched ops carry a leading
+    (W, ...) axis, so each vector op sees W*COLS lanes (tens of thousands)
+    — the TPU wants few big ops, not many small ones.  A window-tile knob
+    caps the sorted-copy working set for huge n.
+  * Bucket accumulation per window: sort point indices by bucket, lay the
+    stream out column-major (rows, COLS) and run ONE lax.scan down the
+    rows; each column keeps a running segment accumulator and emits
+    finished segments into the bucket array with conflict-free scatters
+    (a key's run is contiguous, so exactly one column emits it mid-scan).
+    Cross-column runs surface as per-column leftovers, merged by a
+    log-depth segmented suffix-sum.  Total group work: one point addition
+    per point per window — optimal Pippenger.
   * Bucket reduction sum_b b*S_b: batched 12-bit double-and-add over all
-    4096 buckets at once + recursive-doubling tree reduction (roll+add).
+    W*4096 buckets at once + recursive-doubling tree reduction (roll+add).
   * Windows combined by Horner (12 doublings per step).
   * Multi-chip: points are sharded; each device produces local bucket
     arrays which are combined with point additions after an all_gather —
-    bucket arrays are tiny (2^12 points) next to the point set, so this is
-    the natural ICI-friendly cut (SURVEY.md §5 "distributed communication
-    backend").
+    bucket arrays are tiny next to the point set, so this is the natural
+    ICI-friendly cut (SURVEY.md §5 "distributed communication backend").
 """
 
 from __future__ import annotations
@@ -40,67 +40,94 @@ import numpy as np
 from davinci_tpu.fields import LIMB_BITS
 
 WINDOW_BITS = LIMB_BITS
-NBUCKETS = 1 << WINDOW_BITS  # bucket 0 contributes nothing (b * S_0 with b=0)
-COLS = 2048  # scan width: batched point-adds per sequential step
+NBUCKETS = 1 << WINDOW_BITS  # bucket 0 contributes nothing (b * S_0, b=0)
+COLS = 2048  # scan width per window: batched point-adds per sequential step
+# cap on sorted-point working set (elements of (W_tile * n)); ~1.5GB at L=22
+MAX_TILE_ELEMS = 1 << 23
 
 
-def _bucket_accumulate(curve, xs, ys, zs, keys):
-    """Per-window bucket sums via sort + column-wise segmented scan.
+def _flat_scatter_set(buckets, w_idx, b_idx, vals, nb):
+    """Conflict-free scatter into (W, NB+2, ...) bucket arrays via flat
+    indices; out-of-range b_idx drops."""
+    W = buckets[0].shape[0]
+    flat_idx = (w_idx * (nb + 2) + b_idx).reshape(-1)
+    out = []
+    for buf, v in zip(buckets, vals):
+        trailing = buf.shape[2:]
+        flat = buf.reshape((W * (nb + 2),) + trailing)
+        upd = v.reshape((-1,) + trailing)
+        flat = flat.at[flat_idx].set(upd, mode="drop")
+        out.append(flat.reshape(buf.shape))
+    return tuple(out)
 
-    xs/ys/zs: (n, L) Montgomery limbs (n padded to a multiple of COLS by the
-    caller, padding keys == NBUCKETS); keys: (n,) int32 bucket indices.
-    Returns bucket arrays (NBUCKETS+1, L) x3 (identity where empty; slot
-    NBUCKETS is the padding sink).
+
+def _flat_gather(buckets, w_idx, b_idx, nb):
+    W = buckets[0].shape[0]
+    flat_idx = w_idx * (nb + 2) + b_idx
+    return tuple(
+        b.reshape((W * (nb + 2),) + b.shape[2:])[flat_idx.reshape(-1)].reshape(
+            flat_idx.shape + b.shape[2:]
+        )
+        for b in buckets
+    )
+
+
+def _bucket_accumulate_fused(curve, xs, ys, zs, keys_all):
+    """Bucket sums for a tile of windows at once.
+
+    xs/ys/zs: (n, ...) point coords; keys_all: (Wt, n) bucket indices.
+    Returns bucket arrays (Wt, NBUCKETS+2, ...) — slot NBUCKETS is the
+    padding sink, slot NBUCKETS+1 is a scratch drop target.
     """
-    n = keys.shape[0]
-    trailing = xs.shape[1:]  # (L,) for Fp coords, (2, L) for Fp2
+    Wt, n = keys_all.shape
+    trailing = xs.shape[1:]
     assert n % COLS == 0
     rows = n // COLS
 
-    order = jnp.argsort(keys)
-    k = keys[order]
-    pts = (xs[order], ys[order], zs[order])
+    order = jnp.argsort(keys_all, axis=1)  # (Wt, n)
+    k = jnp.take_along_axis(keys_all, order, axis=1)
+    pts = (xs[order], ys[order], zs[order])  # (Wt, n, ...)
 
-    # column-major layout: column c owns sorted slice [c*rows, (c+1)*rows)
-    k2 = k.reshape(COLS, rows).T  # (rows, COLS)
+    # column-major per window: (rows, Wt, COLS, ...)
+    k2 = jnp.moveaxis(k.reshape(Wt, COLS, rows), 2, 0)
     p2 = tuple(
-        jnp.moveaxis(a.reshape((COLS, rows) + trailing), 0, 1) for a in pts
+        jnp.moveaxis(a.reshape((Wt, COLS, rows) + trailing), 2, 0) for a in pts
     )
 
-    buckets0 = curve.identity((NBUCKETS + 1,))
+    buckets0 = curve.identity((Wt, NBUCKETS + 2))
+    w_iota = jnp.arange(Wt, dtype=jnp.int32)[:, None]
 
     def step(carry, row):
         buckets, acc, acc_key = carry
         key_r, pt_r = row
         same = key_r == acc_key
         merged = curve.add(acc, pt_r)
-        emit_idx = jnp.where(same, NBUCKETS + 1, acc_key)  # OOB -> dropped
-        buckets = tuple(
-            b.at[emit_idx].set(a, mode="drop") for b, a in zip(buckets, acc)
-        )
+        emit_idx = jnp.where(same, NBUCKETS + 1, acc_key)  # scratch -> noise
+        # NB+1 scratch slot absorbs all "no emission" writes (conflicts
+        # there are harmless: the slot is never read)
+        buckets = _flat_scatter_set(buckets, w_iota, emit_idx, acc, NBUCKETS)
         acc = curve.select(same, merged, pt_r)
         return (buckets, acc, key_r), None
 
     init_acc = tuple(a[0] for a in p2)
     init_key = k2[0]
-    rows_rest = (k2[1:], tuple(a[1:] for a in p2))
     (buckets, acc, acc_key), _ = jax.lax.scan(
-        step, (buckets0, init_acc, init_key), rows_rest
+        step, (buckets0, init_acc, init_key), (k2[1:], tuple(a[1:] for a in p2))
     )
 
-    # merge per-column leftovers (cross-column runs) in log depth: a
-    # segmented suffix-sum over the (sorted) leftover keys, then one
-    # conflict-free scatter-add at each run start.
-    keys_l = acc_key
+    # leftover merge: log-depth segmented suffix-sum along COLS per window
+    keys_l = acc_key  # (Wt, COLS)
     col_iota = jnp.arange(COLS, dtype=jnp.int32)
-    ident_cols = curve.identity((COLS,))
+    ident_cols = curve.identity((Wt, COLS))
 
     def suffix_step(i, s):
         stride = 1 << i
         valid = col_iota < (COLS - stride)
-        pk = jnp.where(valid, jnp.roll(keys_l, -stride), -1)
+        pk = jnp.where(valid, jnp.roll(keys_l, -stride, axis=1), -1)
         ps = curve.select(
-            valid, tuple(jnp.roll(a, -stride, axis=0) for a in s), ident_cols
+            valid,
+            tuple(jnp.roll(a, -stride, axis=1) for a in s),
+            ident_cols,
         )
         same = keys_l == pk
         return curve.select(same, curve.add(s, ps), s)
@@ -108,25 +135,21 @@ def _bucket_accumulate(curve, xs, ys, zs, keys):
     s = jax.lax.fori_loop(0, COLS.bit_length() - 1, suffix_step, acc)
 
     start = jnp.concatenate(
-        [jnp.ones((1,), bool), keys_l[1:] != keys_l[:-1]]
+        [jnp.ones((Wt, 1), bool), keys_l[:, 1:] != keys_l[:, :-1]], axis=1
     )
-    cur = tuple(b[keys_l] for b in buckets)
+    cur = _flat_gather(buckets, w_iota, keys_l, NBUCKETS)
     merged = curve.add(cur, s)
-    idx = jnp.where(start, keys_l, NBUCKETS + 1)  # OOB -> dropped
-    buckets = tuple(
-        b.at[idx].set(m, mode="drop") for b, m in zip(buckets, merged)
-    )
+    idx = jnp.where(start, keys_l, NBUCKETS + 1)
+    buckets = _flat_scatter_set(buckets, w_iota, idx, merged, NBUCKETS)
     return buckets
 
 
-def _bucket_reduce(curve, buckets):
-    """sum_b b * S_b over (NBUCKETS+1, L) bucket arrays -> single point.
-
-    The padding sink (slot NBUCKETS) and bucket 0 contribute nothing because
-    their weights' bits are masked / zero.
-    """
-    bidx = jnp.arange(NBUCKETS + 1, dtype=jnp.int32)
-    weights = jnp.where(bidx == NBUCKETS, 0, bidx)  # padding sink -> weight 0
+def _bucket_reduce_fused(curve, buckets):
+    """sum_b b*S_b per window over (Wt, NBUCKETS+2, ...) buckets
+    -> (Wt, ...) points."""
+    Wt = buckets[0].shape[0]
+    bidx = jnp.arange(NBUCKETS + 2, dtype=jnp.int32)[None, :]
+    weights = jnp.where(bidx >= NBUCKETS, 0, bidx)  # sinks weigh 0
 
     def dbl_add(bit, carry):
         acc, cur = carry
@@ -134,30 +157,27 @@ def _bucket_reduce(curve, buckets):
         acc = curve.select(take, curve.add(acc, cur), acc)
         return acc, curve.double(cur)
 
-    acc0 = curve.identity((NBUCKETS + 1,))
+    acc0 = curve.identity((Wt, NBUCKETS + 2))
     acc, _ = jax.lax.fori_loop(0, WINDOW_BITS, dbl_add, (acc0, buckets))
-    # drop the padding sink (its weight is 0 -> identity accumulator)
-    acc = tuple(a[:NBUCKETS] for a in acc)
+    acc = tuple(a[:, :NBUCKETS] for a in acc)
 
-    # recursive-doubling tree reduction over the 4096 slots: after log2(N)
-    # rounds of acc_i += acc_{(i+s) mod N}, slot 0 holds the full sum.
     def tree(i, a):
-        s = NBUCKETS >> 1 >> i  # 2048, 1024, ..., 1
-        rolled = tuple(jnp.roll(x, -s, axis=0) for x in a)
+        s = NBUCKETS >> 1 >> i
+        rolled = tuple(jnp.roll(x, -s, axis=1) for x in a)
         return curve.add(a, rolled)
 
     acc = jax.lax.fori_loop(0, WINDOW_BITS, tree, acc)
-    return tuple(a[0] for a in acc)
+    return tuple(a[:, 0] for a in acc)
 
 
-def _window_body(curve, xs, ys, zs, scalar_limbs, j):
-    keys = jax.lax.dynamic_index_in_dim(scalar_limbs, j, axis=-1, keepdims=False)
-    buckets = _bucket_accumulate(curve, xs, ys, zs, keys)
-    return _bucket_reduce(curve, buckets)
+def _window_tile(n: int, W: int) -> int:
+    wt = max(1, MAX_TILE_ELEMS // max(n, 1))
+    return min(W, wt)
 
 
 def _horner(curve, sums, W):
-    """Combine window sums: total = sum_j 2^(12 j) * S_j (Horner, MSB down)."""
+    """Combine window sums: total = sum_j 2^(12 j) * S_j (Horner, MSB down).
+    sums: tuple of (W, ...) arrays."""
     total = tuple(s[W - 1] for s in sums)
 
     def step(j, tot):
@@ -173,42 +193,52 @@ def _horner(curve, sums, W):
     return jax.lax.fori_loop(1, W, step, total)
 
 
-def _pad_inputs(curve, xs, ys, zs, scalar_limbs):
+@functools.partial(jax.jit, static_argnums=0)
+def _window_sums_tile(curve, xs, ys, zs, keys_all):
+    buckets = _bucket_accumulate_fused(curve, xs, ys, zs, keys_all)
+    return _bucket_reduce_fused(curve, buckets)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _horner_jit(curve, sums, W: int):
+    return _horner(curve, sums, W)
+
+
+def _pad_inputs(curve, xs, ys, zs, scalar_limbs, multiple: int = COLS):
     n = xs.shape[0]
-    # bucket to powers of two so only log-many shapes ever compile
-    n_pad = max(COLS, 1 << (n - 1).bit_length() if n > 1 else COLS)
-    n_pad = -(-n_pad // COLS) * COLS
+    n_pad = max(multiple, 1 << (n - 1).bit_length() if n > 1 else multiple)
+    n_pad = -(-n_pad // multiple) * multiple
     if n_pad != n:
         extra = n_pad - n
         ident = curve.identity((extra,))
         xs = jnp.concatenate([xs, ident[0]])
         ys = jnp.concatenate([ys, ident[1]])
         zs = jnp.concatenate([zs, ident[2]])
-        pad_keys = jnp.full((extra, scalar_limbs.shape[-1]), NBUCKETS, jnp.int32)
+        pad_keys = jnp.full(
+            (extra, scalar_limbs.shape[-1]), NBUCKETS, jnp.int32
+        )
         scalar_limbs = jnp.concatenate([scalar_limbs, pad_keys])
     return xs, ys, zs, scalar_limbs
-
-
-@functools.partial(jax.jit, static_argnums=0)
-def _msm_jit(curve, xs, ys, zs, scalar_limbs):
-    W = scalar_limbs.shape[-1]
-    sums = jax.lax.map(
-        lambda j: _window_body(curve, xs, ys, zs, scalar_limbs, j),
-        jnp.arange(W),
-    )
-    return _horner(curve, sums, W)
 
 
 def msm(curve, points, scalar_limbs):
     """MSM on device.
 
-    curve: DeviceCurve; points: (X, Y, Z) Montgomery limb batch (n, L) each;
-    scalar_limbs: (n, W) raw base-2^12 limbs of the scalars.
-    Returns a single projective point (tuple of (L,) arrays).
+    curve: DeviceCurve; points: (X, Y, Z) Montgomery limb batch (n, ...)
+    each; scalar_limbs: (n, W) raw base-2^12 limbs of the scalars.
+    Returns a single projective point.
     """
     xs, ys, zs = points
     xs, ys, zs, scalar_limbs = _pad_inputs(curve, xs, ys, zs, scalar_limbs)
-    return _msm_jit(curve, xs, ys, zs, scalar_limbs)
+    n, W = scalar_limbs.shape
+    wt = _window_tile(n, W)
+    keys_all = scalar_limbs.T  # (W, n)
+    sums = []
+    for w0 in range(0, W, wt):
+        tile = keys_all[w0 : w0 + wt]
+        sums.append(_window_sums_tile(curve, xs, ys, zs, tile))
+    sums = tuple(jnp.concatenate(parts, axis=0) for parts in zip(*sums))
+    return _horner_jit(curve, sums, W)
 
 
 def scalars_to_limbs(spec, scalars) -> np.ndarray:
@@ -252,57 +282,34 @@ def sharded_msm(curve, points, scalar_limbs, mesh, axis_name="shard"):
     W = scalar_limbs.shape[-1]
 
     def local(xs, ys, zs, sl):
-        def per_window(j):
-            keys = jax.lax.dynamic_index_in_dim(sl, j, axis=-1, keepdims=False)
-            return _bucket_accumulate(curve, xs, ys, zs, keys)
-
-        buckets = jax.lax.map(per_window, jnp.arange(W))  # (W, NB+1, L) x3
-        gathered = jax.lax.all_gather(buckets, axis_name)  # (D, W, NB+1, L) x3
+        buckets = _bucket_accumulate_fused(curve, xs, ys, zs, sl.T)
+        gathered = jax.lax.all_gather(buckets, axis_name)  # (D, W, NB+2, ...)
 
         def fold(d, acc):
-            return curve.add(
-                acc, tuple(jax.lax.dynamic_index_in_dim(g, d, 0, keepdims=False) for g in gathered)
+            nxt = tuple(
+                jax.lax.dynamic_index_in_dim(g, d, 0, keepdims=False)
+                for g in gathered
             )
+            return curve.add(acc, nxt)
 
         acc = tuple(g[0] for g in gathered)
         acc = jax.lax.fori_loop(1, ndev, fold, acc)
-
-        sums = jax.lax.map(
-            lambda j: _bucket_reduce(curve, tuple(a[j] for a in acc)),
-            jnp.arange(W),
-        )
+        sums = _bucket_reduce_fused(curve, acc)
         return _horner(curve, sums, W)
 
     spec_in = P(axis_name)
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(spec_in, spec_in, spec_in, spec_in),
+        out_specs=(P(), P(), P()),
+    )
     try:
-        fn = shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(spec_in, spec_in, spec_in, spec_in),
-            out_specs=(P(), P(), P()),
-            check_vma=False,
-        )
+        fn = shard_map(local, check_vma=False, **kwargs)
     except TypeError:  # older jax: the flag was called check_rep
-        fn = shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(spec_in, spec_in, spec_in, spec_in),
-            out_specs=(P(), P(), P()),
-            check_rep=False,
-        )
+        fn = shard_map(local, check_rep=False, **kwargs)
+
     xs, ys, zs = points
-    xs, ys, zs, scalar_limbs = _pad_inputs(curve, xs, ys, zs, scalar_limbs)
-    # per-device shard must itself be a multiple of COLS
-    n = xs.shape[0]
-    per_dev = -(-n // (ndev * COLS)) * COLS
-    tot = per_dev * ndev
-    if tot != n:
-        extra = tot - n
-        ident = curve.identity((extra,))
-        xs = jnp.concatenate([xs, ident[0]])
-        ys = jnp.concatenate([ys, ident[1]])
-        zs = jnp.concatenate([zs, ident[2]])
-        scalar_limbs = jnp.concatenate(
-            [scalar_limbs, jnp.full((extra, W), NBUCKETS, jnp.int32)]
-        )
+    xs, ys, zs, scalar_limbs = _pad_inputs(
+        curve, xs, ys, zs, scalar_limbs, multiple=COLS * ndev
+    )
     return jax.jit(fn)(xs, ys, zs, scalar_limbs)
