@@ -1,0 +1,164 @@
+"""CLI entrypoints.
+
+Role parity: reference cmd/ (davinci-sequencer main binary, cmd/e2e-test
+synthetic election, cmd/cli client).  Usage:
+
+  python -m davinci_tpu.cli sequencer --db /tmp/davinci.db --port 8080
+  python -m davinci_tpu.cli e2e --votes 5
+  python -m davinci_tpu.cli worker --master http://host:8080 --name w1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import threading
+import time
+
+
+def cmd_sequencer(args):
+    from davinci_tpu.api import API, serve
+    from davinci_tpu.census import CensusDB
+    from davinci_tpu.sequencer import InMemoryChain, Sequencer
+    from davinci_tpu.storage import MemoryKV, SQLiteKV, Storage
+    from davinci_tpu.workers import JobsManager, WorkerManager
+
+    kv = SQLiteKV(args.db) if args.db else MemoryKV()
+    storage = Storage(kv)
+    storage.clean_all_pending()  # crash recovery (reference --forceCleanup)
+    chain = InMemoryChain()
+    seq = Sequencer(storage, chain, batch_time_window=args.batch_window)
+    jm = JobsManager(storage, WorkerManager(args.worker_seed)) if args.worker_seed else None
+    api = API(seq, CensusDB(), jobs_manager=jm)
+    server, _ = serve(api, port=args.port)
+    print(f"davinci-tpu sequencer listening on :{server.server_address[1]}")
+
+    def ticker():
+        while True:
+            try:
+                seq.tick_ballot()
+                seq.tick_aggregate()
+                seq.tick_transition()
+                seq.tick_onchain()
+                seq.tick_finalizer()
+            except Exception as e:
+                print("tick error:", e)
+            time.sleep(args.tick)
+
+    t = threading.Thread(target=ticker, daemon=True)
+    t.start()
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+def cmd_worker(args):
+    import urllib.request
+
+    from davinci_tpu.sequencer import DevStubProvers
+    from davinci_tpu.workers import WorkerClient, worker_uuid
+
+    def transport(method, path, body):
+        req = urllib.request.Request(
+            args.master + path,
+            data=json.dumps(body).encode() if body is not None else None,
+            headers={"Content-Type": "application/json"},
+            method=method,
+        )
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+
+    wid = worker_uuid(args.seed, args.name)
+    worker = WorkerClient(wid, transport, DevStubProvers())
+    print(f"worker {wid} polling {args.master}")
+    while True:
+        if not worker.tick():
+            time.sleep(args.tick)
+
+
+def cmd_e2e(args):
+    """Synthetic election: create process, cast votes, settle, finalize
+    (reference cmd/e2e-test/main.go role, in-process)."""
+    from davinci_tpu import spec
+    from davinci_tpu.elgamal import Ballot, generate_key
+    from davinci_tpu.sequencer import InMemoryChain, Sequencer
+    from davinci_tpu.sequencer.pipeline import ProcessInfo
+    from davinci_tpu.storage import MemoryKV, Storage
+
+    r = random.Random(args.seed)
+    pub, priv = generate_key(r)
+    pid = 1
+    info = ProcessInfo(
+        process_id=pid,
+        census_origin=1,
+        ballot_mode=0,
+        encryption_key=(pub.x, pub.y),
+        state_root=spec.state_root(pid, 1, pub.x, pub.y, 0),
+    )
+    chain = InMemoryChain()
+    chain.create_process(info)
+    seq = Sequencer(Storage(MemoryKV()), chain, batch_time_window=0.0)
+    seq.register_process(info, priv_key=priv)
+
+    t0 = time.time()
+    for i in range(args.votes):
+        choice = [0] * spec.FIELDS_PER_BALLOT
+        choice[i % 2] = 1
+        b = Ballot.encrypt(choice, pub, r.randrange(1, 2**200))
+        seq.submit_ballot(
+            pid, r.randrange(2**160), b, spec.VOTE_ID_MIN + r.randrange(2**40)
+        )
+    while seq.storage.pending_ballots.size() or seq.storage.verified_ballots.size():
+        seq.tick_ballot(max_items=64)
+        seq.tick_aggregate()
+        seq.tick_transition(rng=r)
+        seq.tick_onchain()
+    chain.end_process(pid)
+    seq.tick_finalizer(rng=r)
+    res = chain.process(pid).results
+    print(
+        json.dumps(
+            {
+                "votes": args.votes,
+                "results": res,
+                "transitions": len(chain.transitions),
+                "seconds": round(time.time() - t0, 2),
+            }
+        )
+    )
+    assert res[0] + res[1] == args.votes
+
+
+def main():
+    ap = argparse.ArgumentParser(prog="davinci-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("sequencer", help="run the sequencer node")
+    s.add_argument("--db", default="", help="sqlite path (default: memory)")
+    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--batch-window", type=float, default=300.0)
+    s.add_argument("--tick", type=float, default=1.0)
+    s.add_argument("--worker-seed", default="", help="enable worker API")
+    s.set_defaults(fn=cmd_sequencer)
+
+    w = sub.add_parser("worker", help="run a proving worker")
+    w.add_argument("--master", required=True)
+    w.add_argument("--seed", required=True)
+    w.add_argument("--name", default="worker")
+    w.add_argument("--tick", type=float, default=1.0)
+    w.set_defaults(fn=cmd_worker)
+
+    e = sub.add_parser("e2e", help="run a synthetic election end-to-end")
+    e.add_argument("--votes", type=int, default=4)
+    e.add_argument("--seed", type=int, default=1)
+    e.set_defaults(fn=cmd_e2e)
+
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,26 @@ class ConstraintSystem:
         self.num_public = 0  # excluding ONE
         self.constraints = []  # list of (A_terms, B_terms, C_terms) dicts
         self._public_done = False
+        self._labels: dict[int, str] = {}
+        self._scope: list[str] = []
+
+    # -- debug scopes (reference prover/debug role: localize unsat) ----------
+
+    def scope(self, name: str):
+        cs = self
+
+        class _Scope:
+            def __enter__(self_inner):
+                cs._scope.append(name)
+
+            def __exit__(self_inner, *a):
+                cs._scope.pop()
+
+        return _Scope()
+
+    def _label_current(self):
+        if self._scope:
+            self._labels[len(self.constraints) - 1] = "/".join(self._scope)
 
     # -- variable creation --------------------------------------------------
 
@@ -100,6 +120,7 @@ class ConstraintSystem:
     def raw_constrain(self, a: LinComb, b: LinComb, c: LinComb):
         """a * b == c."""
         self.constraints.append((dict(a.terms), dict(b.terms), dict(c.terms)))
+        self._label_current()
 
     def mul(self, a, b) -> LinComb:
         a, b = self.coerce(a), self.coerce(b)
@@ -241,10 +262,16 @@ class ConstraintSystem:
         return self.values[1 : 1 + self.num_public]
 
     def check_satisfied(self) -> bool:
-        for A, B, C in self.constraints:
+        return self.first_unsatisfied() is None
+
+    def first_unsatisfied(self):
+        """Index (+ scope label if any) of the first violated constraint —
+        the reference's debug-prover role (prover/debug/debug.go:27
+        NewDebugProver runs test.IsSolved to localize unsat constraints)."""
+        for idx, (A, B, C) in enumerate(self.constraints):
             av = sum(c * self.values[i] for i, c in A.items()) % self.p
             bv = sum(c * self.values[i] for i, c in B.items()) % self.p
             cv = sum(c * self.values[i] for i, c in C.items()) % self.p
             if av * bv % self.p != cv:
-                return False
-        return True
+                return idx, self._labels.get(idx, "")
+        return None
