@@ -88,23 +88,33 @@ def _shift_pass(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def carry_fix(cols: jnp.ndarray, n_out: int) -> jnp.ndarray:
-    """Exact, branchless carry/borrow normalisation of signed column sums
-    (|col| < 2^30) to canonical limbs; carries beyond n_out are dropped
-    (mod 2^(12*n_out) semantics — callers arrange the total is >= 0 and in
+    """Exact carry/borrow normalisation of signed column sums (|col| <
+    2^30) to canonical limbs; carries beyond n_out are dropped (mod
+    2^(12*n_out) semantics — callers arrange the total is >= 0 and in
     range, or explicitly want the wrap).
 
-    Three vectorized shift passes bound every residual carry to {-1, 0, 1};
-    the remainder is a carry-lookahead where each position is a monotone
-    step function {-1,0,1} -> {-1,0,1}, composed associatively (a 3-state
-    generalisation of the classic generate/propagate scan).  Zero control
-    flow: everything is data-parallel and log-depth, which is what keeps
-    field ops latency-free on TPU.
+    Backend-adaptive: on TPU, three vectorized shift passes bound every
+    residual carry to {-1, 0, 1} and a 3-state carry-lookahead
+    (associative scan of monotone step functions — a generalisation of
+    generate/propagate) finishes exactly with zero control flow, keeping
+    field ops latency-free.  On CPU (tests), a while_loop ripple is used
+    instead: XLA:CPU's compile time on the scan graphs is superlinear and
+    dominates test wall-clock, while the ripple compiles instantly and
+    runs fine there.
     """
     x = cols
     if x.shape[-1] < n_out:
         pad = [(0, 0)] * (x.ndim - 1) + [(0, n_out - x.shape[-1])]
         x = jnp.pad(x, pad)
     x = x[..., :n_out]
+
+    if jax.default_backend() == "cpu":
+        def canonical(v):
+            return jnp.all((v >> LIMB_BITS) == 0)
+
+        return jax.lax.while_loop(
+            lambda v: ~canonical(v), _shift_pass, x
+        )
 
     # bounds: 2^30 -> ~2^18 -> [-128, 4223] -> [-1, 4096]
     x = _shift_pass(_shift_pass(_shift_pass(x)))
