@@ -221,6 +221,33 @@ def _pad_inputs(curve, xs, ys, zs, scalar_limbs, multiple: int = COLS):
     return xs, ys, zs, scalar_limbs
 
 
+def _use_pipeline() -> bool:
+    """The bucket pipeline is the TPU path; XLA:CPU's compile time on its
+    graph is pathological, so CPU (tests, virtual meshes) uses the simple
+    batched-double-and-add reference unless explicitly overridden."""
+    import os
+
+    if os.environ.get("DAVINCI_FORCE_PIPELINE_MSM"):
+        return True
+    return jax.default_backend() != "cpu"
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _msm_reference(curve, xs, ys, zs, scalar_limbs):
+    """Batched per-point scalar-mul + recursive-doubling tree reduction —
+    O(n * bits) group ops but compile-tiny (reuses the scalar_mul graph)."""
+    acc = curve.scalar_mul((xs, ys, zs), scalar_limbs)
+    n = xs.shape[0]
+
+    def tree(i, a):
+        s = n >> 1 >> i
+        rolled = tuple(jnp.roll(x, -s, axis=0) for x in a)
+        return curve.add(a, rolled)
+
+    acc = jax.lax.fori_loop(0, n.bit_length() - 1, tree, acc)
+    return tuple(a[0] for a in acc)
+
+
 def msm(curve, points, scalar_limbs):
     """MSM on device.
 
@@ -229,6 +256,21 @@ def msm(curve, points, scalar_limbs):
     Returns a single projective point.
     """
     xs, ys, zs = points
+    if not _use_pipeline():
+        n = xs.shape[0]
+        n_pad = 1 << (n - 1).bit_length() if n > 1 else 1
+        if n_pad != n:
+            ident = curve.identity((n_pad - n,))
+            xs = jnp.concatenate([xs, ident[0]])
+            ys = jnp.concatenate([ys, ident[1]])
+            zs = jnp.concatenate([zs, ident[2]])
+            scalar_limbs = jnp.concatenate(
+                [
+                    scalar_limbs,
+                    jnp.zeros((n_pad - n, scalar_limbs.shape[-1]), jnp.int32),
+                ]
+            )
+        return _msm_reference(curve, xs, ys, zs, scalar_limbs)
     xs, ys, zs, scalar_limbs = _pad_inputs(curve, xs, ys, zs, scalar_limbs)
     n, W = scalar_limbs.shape
     wt = _window_tile(n, W)
@@ -280,11 +322,9 @@ def sharded_msm(curve, points, scalar_limbs, mesh, axis_name="shard"):
 
     ndev = mesh.shape[axis_name]
     W = scalar_limbs.shape[-1]
+    pipeline = _use_pipeline()
 
-    def local(xs, ys, zs, sl):
-        buckets = _bucket_accumulate_fused(curve, xs, ys, zs, sl.T)
-        gathered = jax.lax.all_gather(buckets, axis_name)  # (D, W, NB+2, ...)
-
+    def _fold_gathered(gathered):
         def fold(d, acc):
             nxt = tuple(
                 jax.lax.dynamic_index_in_dim(g, d, 0, keepdims=False)
@@ -293,9 +333,20 @@ def sharded_msm(curve, points, scalar_limbs, mesh, axis_name="shard"):
             return curve.add(acc, nxt)
 
         acc = tuple(g[0] for g in gathered)
-        acc = jax.lax.fori_loop(1, ndev, fold, acc)
-        sums = _bucket_reduce_fused(curve, acc)
-        return _horner(curve, sums, W)
+        return jax.lax.fori_loop(1, ndev, fold, acc)
+
+    def local(xs, ys, zs, sl):
+        if pipeline:
+            buckets = _bucket_accumulate_fused(curve, xs, ys, zs, sl.T)
+            gathered = jax.lax.all_gather(buckets, axis_name)
+            acc = _fold_gathered(gathered)
+            sums = _bucket_reduce_fused(curve, acc)
+            return _horner(curve, sums, W)
+        # CPU/reference: local partial MSM, gather the D partial points,
+        # fold with point adds (same ICI cut, compile-tiny graph)
+        partial = _msm_reference(curve, xs, ys, zs, sl)
+        gathered = jax.lax.all_gather(partial, axis_name)  # (D, ...) x3
+        return _fold_gathered(gathered)
 
     spec_in = P(axis_name)
     kwargs = dict(
