@@ -28,7 +28,7 @@ def main():
     from davinci_tpu.msm import msm
     from davinci_tpu.msm.pippenger import NBUCKETS, WINDOW_BITS
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 16
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 18
     spec = C.bn254_g1
     dc = get_device_curve(spec)
 
