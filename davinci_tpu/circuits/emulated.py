@@ -1,0 +1,364 @@
+"""Non-native ("emulated") field arithmetic inside the R1CS frontend.
+
+This is the foundation of the recursion chain: circuits over one scalar
+field verifying statements about another field — the role of gnark's
+`std/math/emulated` package used by every recursive circuit in the
+reference (circuits/voteverifier/vote_verifier.go:71-87 `emulated.Element
+[sw_bn254.ScalarField]`, circuits/statetransition verifying BW6-761 and
+BLS12-381 inside BN254, crypto/blobs/evaluation.go:61-147).
+
+Representation: an emulated element is a vector of limb LinCombs in base
+2^w with a tracked per-limb integer bound.  Additions are lazy (free);
+multiplication allocates the quotient/remainder via a hint and enforces
+
+    a(X) * b(X) - q(X) * p(X) - r(X)  ==  0   at X = 2^w over the integers
+
+with a sequential signed-carry chain: each carry is hint-allocated and
+range-checked (shifted to non-negative), so no native-field wraparound can
+occur (all intermediate magnitudes stay below the native modulus).  This
+is the classical bits-based CRT-free approach; with Groth16 (no lookups)
+bit decomposition is the optimal range check.
+
+Cost (mul, BN254 emulated in BLS12-377-Fr, w=88/3 limbs): ~1k constraints.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from davinci_tpu.groth16.r1cs import ConstraintSystem, LinComb
+
+
+@dataclass
+class EmuVar:
+    """Emulated field element: limb LinCombs (little-endian base 2^w) plus a
+    uniform per-limb integer upper bound."""
+
+    limbs: list
+    bound: int
+
+
+class EmulatedOps:
+    """Field operations over an emulated prime field, generating R1CS
+    constraints in the native field of `cs`."""
+
+    def __init__(
+        self,
+        cs: ConstraintSystem,
+        emu_p: int,
+        limb_bits: int | None = None,
+        n_limbs: int | None = None,
+    ):
+        self.cs = cs
+        self.p = emu_p
+        native_bits = cs.p.bit_length()
+        emu_bits = emu_p.bit_length()
+        if limb_bits is None:
+            # largest w with 2w + margin under the native capacity
+            margin = 24  # lazy-add overflow + carry + accumulation headroom
+            w = (native_bits - 1 - margin) // 2
+            n = -(-emu_bits // w)
+            # rebalance: shrink w to the minimum for the same limb count
+            w = -(-emu_bits // n)
+            limb_bits = w
+        self.w = limb_bits
+        self.n = n_limbs or -(-emu_bits // limb_bits)
+        assert self.n * self.w >= emu_bits
+        # soundness budget: products + accumulation + carry must not wrap
+        self._mul_bound_bits = (native_bits - 1 - self.n.bit_length() - 3) // 2
+        assert self._mul_bound_bits > self.w, "limb width too large for native field"
+        self.zero = self.constant(0)
+        self.one = self.constant(1)
+
+    # -- construction --------------------------------------------------------
+
+    def _split(self, v: int) -> list[int]:
+        v %= self.p
+        mask = (1 << self.w) - 1
+        return [(v >> (self.w * i)) & mask for i in range(self.n)]
+
+    def constant(self, v: int) -> EmuVar:
+        limbs = [self.cs.constant(x) for x in self._split(v)]
+        return EmuVar(limbs, (1 << self.w) - 1)
+
+    def alloc(self, v: int) -> EmuVar:
+        """Allocate a witness element (canonical representative), range
+        checking every limb."""
+        limbs = []
+        for x in self._split(v):
+            lv = self.cs.priv_input(x)
+            self.cs.to_bits(lv, self.w)
+            limbs.append(lv)
+        return EmuVar(limbs, (1 << self.w) - 1)
+
+    def from_limb_vars(self, limbs, bound: int) -> EmuVar:
+        return EmuVar(list(limbs), bound)
+
+    # -- host values (hints) -------------------------------------------------
+
+    def raw_int(self, a: EmuVar) -> int:
+        """The represented integer (pre-reduction); limb values are true
+        integers because bounds stay below the native modulus."""
+        return sum(l.value << (self.w * i) for i, l in enumerate(a.limbs))
+
+    def value(self, a: EmuVar) -> int:
+        return self.raw_int(a) % self.p
+
+    # -- linear ops (free) ---------------------------------------------------
+
+    def add(self, a: EmuVar, b: EmuVar) -> EmuVar:
+        a, b = self._harmonize(a, b)
+        limbs = [x + y for x, y in zip(a.limbs, b.limbs)]
+        return self._maybe_reduce(EmuVar(limbs, a.bound + b.bound))
+
+    def smul(self, a: EmuVar, k: int) -> EmuVar:
+        """Multiply by a small non-negative integer constant."""
+        assert k >= 0
+        if k == 0:
+            return self.zero
+        return self._maybe_reduce(
+            EmuVar([x * k for x in a.limbs], a.bound * k)
+        )
+
+    def sub(self, a: EmuVar, b: EmuVar) -> EmuVar:
+        """a - b, made limb-wise non-negative by adding a multiple of p whose
+        every limb dominates b's bound."""
+        a, b = self._harmonize(a, b)
+        pad = self._sub_padding(b.bound, len(b.limbs))
+        limbs = [
+            x + self.cs.constant(pd) - y
+            for x, y, pd in zip(a.limbs, b.limbs, pad)
+        ]
+        return self._maybe_reduce(EmuVar(limbs, a.bound + max(pad)))
+
+    def neg(self, a: EmuVar) -> EmuVar:
+        return self.sub(self.zero, a)
+
+    def _sub_padding(self, bound: int, k: int) -> list[int]:
+        """Integer limbs of a multiple of p with every limb >= bound."""
+        base = sum(bound << (self.w * i) for i in range(k))
+        delta = (-base) % self.p
+        mask = (1 << self.w) - 1
+        out = [bound + ((delta >> (self.w * i)) & mask) for i in range(k)]
+        # delta < p <= 2^(w*n); if k < n limbs can't hold it — harmonize
+        # callers keep k == n so this holds:
+        assert delta >> (self.w * k) == 0
+        return out
+
+    def _harmonize(self, a: EmuVar, b: EmuVar):
+        """Equalize limb counts (pad with zeros)."""
+        zero = self.cs.constant(0)
+        n = max(len(a.limbs), len(b.limbs), self.n)
+        if len(a.limbs) < n:
+            a = EmuVar(a.limbs + [zero] * (n - len(a.limbs)), a.bound)
+        if len(b.limbs) < n:
+            b = EmuVar(b.limbs + [zero] * (n - len(b.limbs)), b.bound)
+        return a, b
+
+    def _maybe_reduce(self, a: EmuVar) -> EmuVar:
+        if a.bound.bit_length() > self._mul_bound_bits:
+            return self.reduce(a)
+        return a
+
+    # -- the carry-chain core ------------------------------------------------
+
+    def _carry_check(self, L, L_ints, R, R_ints):
+        """Assert sum_k (L_k - R_k) 2^(wk) == 0 over the integers.
+
+        L/R: lists of LinCombs (or None); L_ints/R_ints: their true integer
+        values.  Signed carries are hint-allocated and range-checked after
+        an offset shift."""
+        cs, w = self.cs, self.w
+        K = max(len(L), len(R))
+        zero = cs.constant(0)
+        L = list(L) + [zero] * (K - len(L))
+        R = list(R) + [zero] * (K - len(R))
+        L_ints = list(L_ints) + [0] * (K - len(L_ints))
+        R_ints = list(R_ints) + [0] * (K - len(R_ints))
+
+        carry = zero
+        carry_int = 0
+        for k in range(K):
+            d = L[k] + carry - R[k]
+            d_int = L_ints[k] + carry_int - R_ints[k]
+            if k == K - 1:
+                assert d_int == 0, "emulated identity does not hold (bad hint)"
+                cs.assert_zero(d)
+                break
+            assert d_int % (1 << w) == 0, "carry chain misaligned"
+            c_int = d_int >> w
+            # |carry| bound: everything at this column fits in col_bits
+            col_bits = max(
+                abs(L_ints[k]).bit_length(),
+                abs(R_ints[k]).bit_length(),
+                abs(c_int).bit_length() + w,
+                w,
+            )
+            cb = col_bits - w + 2  # signed headroom
+            c = cs.priv_input(c_int % cs.p)
+            cs.raw_constrain(c, cs.one, d * pow(2, -w, cs.p))
+            # range check the shifted carry: c + 2^cb in [0, 2^(cb+1))
+            cs.to_bits(c + (1 << cb), cb + 1)
+            carry, carry_int = c, c_int
+
+    def _mul_limb_products(self, a: EmuVar, b: EmuVar):
+        """Column sums of a*b: LinComb products (n^2 constraints) and their
+        integer values."""
+        cs = self.cs
+        na, nb = len(a.limbs), len(b.limbs)
+        a_ints = [l.value for l in a.limbs]
+        b_ints = [l.value for l in b.limbs]
+        cols = [cs.constant(0) for _ in range(na + nb - 1)]
+        col_ints = [0] * (na + nb - 1)
+        for i in range(na):
+            for j in range(nb):
+                cols[i + j] = cols[i + j] + cs.mul(a.limbs[i], b.limbs[j])
+                col_ints[i + j] += a_ints[i] * b_ints[j]
+        return cols, col_ints
+
+    def _qr_terms(self, q: EmuVar, r: EmuVar):
+        """Columns of q*p + r (linear in q's limbs: p's limbs are constants)."""
+        cs = self.cs
+        p_limbs = self._split_exact(self.p)
+        nq, np_ = len(q.limbs), len(p_limbs)
+        q_ints = [l.value for l in q.limbs]
+        K = max(nq + np_ - 1, len(r.limbs))
+        cols = [cs.constant(0) for _ in range(K)]
+        col_ints = [0] * K
+        for i in range(nq):
+            for j in range(np_):
+                if p_limbs[j]:
+                    cols[i + j] = cols[i + j] + q.limbs[i] * p_limbs[j]
+                    col_ints[i + j] += q_ints[i] * p_limbs[j]
+        for k, l in enumerate(r.limbs):
+            cols[k] = cols[k] + l
+            col_ints[k] += l.value
+        return cols, col_ints
+
+    def _split_exact(self, v: int) -> list[int]:
+        mask = (1 << self.w) - 1
+        out = []
+        while v:
+            out.append(v & mask)
+            v >>= self.w
+        return out or [0]
+
+    def _alloc_q(self, q_int: int, q_max: int) -> EmuVar:
+        nq = max(1, -(-q_max.bit_length() // self.w))
+        mask = (1 << self.w) - 1
+        limbs = []
+        for i in range(nq):
+            x = (q_int >> (self.w * i)) & mask
+            lv = self.cs.priv_input(x)
+            self.cs.to_bits(lv, self.w)
+            limbs.append(lv)
+        return EmuVar(limbs, (1 << self.w) - 1)
+
+    # -- multiplicative ops --------------------------------------------------
+
+    def _int_max(self, a: EmuVar) -> int:
+        return sum(a.bound << (self.w * i) for i in range(len(a.limbs)))
+
+    def mul(self, a: EmuVar, b: EmuVar) -> EmuVar:
+        a = self._maybe_reduce(a)
+        b = self._maybe_reduce(b)
+        v = self.raw_int(a) * self.raw_int(b)
+        q_int, r_int = divmod(v, self.p)
+        q_max = self._int_max(a) * self._int_max(b) // self.p
+        q = self._alloc_q(q_int, q_max)
+        r = self.alloc(r_int)
+        L, L_ints = self._mul_limb_products(a, b)
+        R, R_ints = self._qr_terms(q, r)
+        self._carry_check(L, L_ints, R, R_ints)
+        return r
+
+    def square(self, a: EmuVar) -> EmuVar:
+        return self.mul(a, a)
+
+    def reduce(self, a: EmuVar) -> EmuVar:
+        """Canonical representative (< p, limbs range-checked)."""
+        v = self.raw_int(a)
+        q_int, r_int = divmod(v, self.p)
+        q = self._alloc_q(q_int, max(1, self._int_max(a) // self.p))
+        r = self.alloc(r_int)
+        a_ints = [l.value for l in a.limbs]
+        R, R_ints = self._qr_terms(q, r)
+        self._carry_check(list(a.limbs), a_ints, R, R_ints)
+        return r
+
+    def inv(self, a: EmuVar) -> EmuVar:
+        av = self.value(a)
+        x = self.alloc(pow(av, -1, self.p) if av else 0)
+        self.assert_eq(self.mul(a, x), self.one)
+        return x
+
+    def div(self, a: EmuVar, b: EmuVar) -> EmuVar:
+        bv = self.value(b)
+        out = self.alloc(
+            self.value(a) * pow(bv, -1, self.p) % self.p if bv else 0
+        )
+        self.assert_eq(self.mul(b, out), a)
+        return out
+
+    # -- predicates / control ------------------------------------------------
+
+    def assert_is_zero(self, a: EmuVar):
+        v = self.raw_int(a)
+        assert v % self.p == 0, "assert_is_zero on nonzero value"
+        q_int = v // self.p
+        q = self._alloc_q(q_int, max(1, self._int_max(a) // self.p))
+        a_ints = [l.value for l in a.limbs]
+        R, R_ints = self._qr_terms(q, self.zero)
+        self._carry_check(list(a.limbs), a_ints, R, R_ints)
+
+    def assert_eq(self, a: EmuVar, b: EmuVar):
+        self.assert_is_zero(self.sub(a, b))
+
+    def select(self, cond, a: EmuVar, b: EmuVar) -> EmuVar:
+        """cond ? a : b (cond: boolean LinComb)."""
+        a, b = self._harmonize(a, b)
+        limbs = [self.cs.select(cond, x, y) for x, y in zip(a.limbs, b.limbs)]
+        return EmuVar(limbs, max(a.bound, b.bound))
+
+    def is_zero(self, a: EmuVar):
+        """Boolean LinComb: 1 iff a == 0 mod p."""
+        cs = self.cs
+        av = self.value(a)
+        out = cs.priv_input(1 if av == 0 else 0)
+        cs.assert_bool(out)
+        m = self.alloc(pow(av, -1, self.p) if av else 0)
+        # out=1 -> a == 0 ; out=0 -> a*m == 1 (a invertible)
+        t = self.mul(a, m)
+        self.assert_eq(t, self.select(out, self.zero, self.one))
+        s = self.select(out, a, self.zero)
+        self.assert_is_zero(s)
+        return out
+
+    def to_canonical_bits(self, a: EmuVar) -> list:
+        """Bit decomposition of the canonical value (little-endian, w*n bits)
+        with a canonicity check (value < p)."""
+        r = self.reduce(a)
+        bits = []
+        for l in r.limbs:
+            bits.extend(self.cs.to_bits(l, self.w))
+        self._assert_lt_p(bits)
+        return bits
+
+    def _assert_lt_p(self, bits):
+        """Lexicographic less-than against the constant p."""
+        cs = self.cs
+        p_bits = [(self.p >> i) & 1 for i in range(len(bits))]
+        # standard MSB-first comparison: ok = OR over positions where
+        # p_bit=1 and all higher bits equal and this bit of a is 0
+        eq_so_far = cs.one
+        lt = cs.constant(0)
+        for i in reversed(range(len(bits))):
+            b = cs.coerce(bits[i])
+            if p_bits[i] == 1:
+                # a can be less here: bit 0 while prefix equal
+                lt = lt + cs.mul(eq_so_far, cs.one - b)
+                eq_so_far = cs.mul(eq_so_far, b)
+            else:
+                # p bit is 0: a bit must be 0 to stay equal
+                eq_so_far = cs.mul(eq_so_far, cs.one - b)
+        cs.assert_eq(lt, cs.one)

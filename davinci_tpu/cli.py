@@ -117,13 +117,14 @@ def cmd_e2e(args):
         seq.tick_transition(rng=r)
         seq.tick_onchain()
     chain.end_process(pid)
-    seq.tick_finalizer(rng=r)
+    seq.tick_finalizer(rng=r, prove_real=args.prove_results)
     res = chain.process(pid).results
     print(
         json.dumps(
             {
                 "votes": args.votes,
                 "results": res,
+                "results_proven": args.prove_results,
                 "transitions": len(chain.transitions),
                 "seconds": round(time.time() - t0, 2),
             }
@@ -154,6 +155,11 @@ def main():
     e = sub.add_parser("e2e", help="run a synthetic election end-to-end")
     e.add_argument("--votes", type=int, default=4)
     e.add_argument("--seed", type=int, default=1)
+    e.add_argument(
+        "--prove-results", action="store_true",
+        help="run the real Groth16 results-verifier prover at finalize "
+        "(artifact-cached setup; reference RUN_CIRCUIT_TESTS role)",
+    )
     e.set_defaults(fn=cmd_e2e)
 
     args = ap.parse_args()

@@ -22,6 +22,7 @@ import numpy as np
 
 from davinci_tpu import fields as F
 from davinci_tpu import curves as C
+from davinci_tpu import log
 from davinci_tpu.curves import AffinePoint
 from davinci_tpu.ec import get_device_curve
 from davinci_tpu.msm import msm
@@ -189,7 +190,8 @@ class Groth16:
 
     def prove(self, pk: ProvingKey, cs, r_rand=None, s_rand=None) -> Proof:
         """Prove a *solved* ConstraintSystem (witness inside)."""
-        assert cs.check_satisfied(), "witness does not satisfy constraints"
+        with log.debug_time("groth16.check_satisfied"):
+            assert cs.check_satisfied(), "witness does not satisfy constraints"
         r = self.r
         rng = _random.Random()
         rr = rng.randrange(r) if r_rand is None else r_rand
@@ -199,33 +201,32 @@ class Groth16:
         N = 1 << pk.domain_log
 
         # --- quotient polynomial h on device -----------------------------
-        az = [0] * N
-        bz = [0] * N
-        czv = [0] * N
-        for j, (A, B, Cc) in enumerate(cs.constraints):
-            az[j] = sum(c * z[i] for i, c in A.items()) % r
-            bz[j] = sum(c * z[i] for i, c in B.items()) % r
-            czv[j] = sum(c * z[i] for i, c in Cc.items()) % r
+        with log.info_time(
+            "groth16.witness_reduce", n_constraints=len(cs.constraints)
+        ):
+            az, bz, czv = cs.matvec_all(z, N)
 
-        df = self.ntt.df
-        evals = jnp.stack([df.encode(az), df.encode(bz), df.encode(czv)])
-        coeffs = self.ntt.intt(evals)
-        cosets = self.ntt.coset_ntt(coeffs)
-        ab = df.mul(cosets[0], cosets[1])
-        num = df.sub(ab, cosets[2])
-        g = self.fr.multiplicative_generator
-        zc_inv = pow((pow(g, N, r) - 1) % r, -1, r)
-        he = df.mul(num, df.encode_scalar(zc_inv))
-        h_coeffs = self.ntt.coset_intt(he)
-        h = df.decode(h_coeffs)
-        assert h[N - 1] == 0, "quotient degree overflow"
+        with log.info_time("groth16.quotient_ntt", domain=N):
+            df = self.ntt.df
+            evals = jnp.stack([df.encode(az), df.encode(bz), df.encode(czv)])
+            coeffs = self.ntt.intt(evals)
+            cosets = self.ntt.coset_ntt(coeffs)
+            ab = df.mul(cosets[0], cosets[1])
+            num = df.sub(ab, cosets[2])
+            g = self.fr.multiplicative_generator
+            zc_inv = pow((pow(g, N, r) - 1) % r, -1, r)
+            he = df.mul(num, df.encode_scalar(zc_inv))
+            h_coeffs = self.ntt.coset_intt(he)
+            h = df.decode(h_coeffs)
+            assert h[N - 1] == 0, "quotient degree overflow"
 
         # --- MSMs ---------------------------------------------------------
-        a_lin = self._msm_host_pts(pk.a_g1, z)
-        b1_lin = self._msm_host_pts(pk.b_g1, z)
-        npub = 1 + cs.num_public
-        k_lin = self._msm_host_pts(pk.k_g1, z[npub:])
-        h_lin = self._msm_host_pts(pk.z_g1, h[: N - 1])
+        with log.info_time("groth16.msms", n_vars=len(z)):
+            a_lin = self._msm_host_pts(pk.a_g1, z)
+            b1_lin = self._msm_host_pts(pk.b_g1, z)
+            npub = 1 + cs.num_public
+            k_lin = self._msm_host_pts(pk.k_g1, z[npub:])
+            h_lin = self._msm_host_pts(pk.z_g1, h[: N - 1])
 
         # --- assembly (host, tiny) ---------------------------------------
         A = pk.alpha_g1.add(a_lin).add(pk.delta_g1.mul(rr))

@@ -70,6 +70,8 @@ class ConstraintSystem:
         self._public_done = False
         self._labels: dict[int, str] = {}
         self._scope: list[str] = []
+        self._flat = None  # cached CSR export (see _flat_matrices)
+        self._flat_n = -1
 
     # -- debug scopes (reference prover/debug role: localize unsat) ----------
 
@@ -250,6 +252,61 @@ class ConstraintSystem:
         return state[0]
 
     # -- export ----------------------------------------------------------------
+
+    def _flat_matrices(self):
+        """CSR export of (A, B, C): per matrix (idx int64 array, coeff object
+        array, row-start offsets).  Cached; invalidated by growth."""
+        import numpy as np
+
+        if self._flat is not None and self._flat_n == len(self.constraints):
+            return self._flat
+        mats = []
+        for sel in range(3):
+            idxs: list = []
+            coeffs: list = []
+            offs = [0]
+            for cons in self.constraints:
+                t = cons[sel]
+                idxs.extend(t.keys())
+                coeffs.extend(t.values())
+                offs.append(len(idxs))
+            ca = np.empty(len(coeffs), object)
+            ca[:] = coeffs
+            mats.append(
+                (
+                    np.asarray(idxs, np.int64),
+                    ca,
+                    np.asarray(offs, np.int64),
+                )
+            )
+        self._flat = tuple(mats)
+        self._flat_n = len(self.constraints)
+        return self._flat
+
+    def matvec_all(self, z, N: int):
+        """(A z, B z, C z) mod p as three length-N lists — the Groth16
+        witness reduction, vectorized with numpy object arrays (the role of
+        gnark's solver evaluation; reference prover hot loop SURVEY §3.2)."""
+        import numpy as np
+
+        n_cons = len(self.constraints)
+        zv = np.empty(len(z), object)
+        zv[:] = z
+        out = []
+        for idx, coeff, offs in self._flat_matrices():
+            vec = [0] * N
+            if len(idx):
+                prod = coeff * zv[idx]
+                prod = np.append(prod, 0)  # sentinel for trailing empty rows
+                starts = np.minimum(offs[:-1], len(prod) - 1)
+                rows = np.add.reduceat(prod, starts)
+                empty = offs[1:] == offs[:-1]
+                if empty.any():
+                    rows[empty] = 0
+                rows = rows % self.p
+                vec[:n_cons] = rows.tolist()
+            out.append(vec)
+        return out
 
     @property
     def num_variables(self) -> int:

@@ -1,0 +1,214 @@
+"""Binary serialization for Groth16 proving/verifying keys and proofs.
+
+Role parity: gnark's CCS/PK/VK WriteTo/ReadFrom used by the reference's
+artifact cache (circuits/artifacts.go:62-106 hash-checked files on disk)
+and the solidity/JSON proof encodings.  Format is fixed-width big-endian
+per curve (field byte length from the curve's base field), so files are
+deterministic and hashable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+
+from davinci_tpu.curves import AffinePoint
+from davinci_tpu.towers import FF
+
+_MAGIC = b"DVTPU1\n"
+
+
+def _field_nbytes(spec) -> int:
+    return (spec.field_spec.p.bit_length() + 7) // 8
+
+
+def _coord_components(v) -> tuple:
+    """Field value -> tuple of int components (1 for Fp, 2 for Fp2)."""
+    if isinstance(v, tuple):
+        return tuple(int(c) for c in v)
+    return (int(v),)
+
+
+def _write_point(buf, pt: AffinePoint, nbytes: int, ncomp: int):
+    if pt.infinity:
+        buf.write(b"\x00")
+        buf.write(b"\x00" * (2 * ncomp * nbytes))
+        return
+    buf.write(b"\x01")
+    for coord in (pt.x.v, pt.y.v):
+        comps = _coord_components(coord)
+        assert len(comps) == ncomp
+        for c in comps:
+            buf.write(c.to_bytes(nbytes, "big"))
+
+
+def _read_point(buf, spec, nbytes: int, ncomp: int) -> AffinePoint:
+    flag = buf.read(1)[0]
+    raw = buf.read(2 * ncomp * nbytes)
+    if flag == 0:
+        return AffinePoint(spec, None, None)
+    vals = [
+        int.from_bytes(raw[i * nbytes : (i + 1) * nbytes], "big")
+        for i in range(2 * ncomp)
+    ]
+    fld = spec.fld
+    if ncomp == 1:
+        return AffinePoint(spec, fld(vals[0]), fld(vals[1]))
+    x = FF(fld, (vals[0], vals[1]))
+    y = FF(fld, (vals[2], vals[3]))
+    return AffinePoint(spec, x, y)
+
+
+def _ncomp(spec) -> int:
+    return 1 if hasattr(spec.fld, "p") else 2
+
+
+def _write_points(buf, pts, spec):
+    nb, nc = _field_nbytes(spec), _ncomp(spec)
+    buf.write(len(pts).to_bytes(8, "big"))
+    for p in pts:
+        _write_point(buf, p, nb, nc)
+
+
+def _read_points(buf, spec) -> list:
+    nb, nc = _field_nbytes(spec), _ncomp(spec)
+    n = int.from_bytes(buf.read(8), "big")
+    return [_read_point(buf, spec, nb, nc) for _ in range(n)]
+
+
+def pk_to_bytes(pk, g1spec, g2spec) -> bytes:
+    buf = io.BytesIO()
+    buf.write(_MAGIC)
+    buf.write(b"PK")
+    buf.write(pk.domain_log.to_bytes(4, "big"))
+    nb1, nb2 = _field_nbytes(g1spec), _field_nbytes(g2spec)
+    nc2 = _ncomp(g2spec)
+    for pt in (pk.alpha_g1, pk.beta_g1, pk.delta_g1):
+        _write_point(buf, pt, nb1, 1)
+    for pt in (pk.beta_g2, pk.delta_g2):
+        _write_point(buf, pt, nb2, nc2)
+    for pts in (pk.a_g1, pk.b_g1, pk.k_g1, pk.z_g1):
+        _write_points(buf, pts, g1spec)
+    _write_points(buf, pk.b_g2, g2spec)
+    return buf.getvalue()
+
+
+def pk_from_bytes(data: bytes, g1spec, g2spec):
+    from davinci_tpu.groth16.core import ProvingKey
+
+    buf = io.BytesIO(data)
+    assert buf.read(len(_MAGIC)) == _MAGIC, "bad artifact magic"
+    assert buf.read(2) == b"PK", "not a proving key"
+    domain_log = int.from_bytes(buf.read(4), "big")
+    nb1, nb2 = _field_nbytes(g1spec), _field_nbytes(g2spec)
+    nc2 = _ncomp(g2spec)
+    alpha_g1 = _read_point(buf, g1spec, nb1, 1)
+    beta_g1 = _read_point(buf, g1spec, nb1, 1)
+    delta_g1 = _read_point(buf, g1spec, nb1, 1)
+    beta_g2 = _read_point(buf, g2spec, nb2, nc2)
+    delta_g2 = _read_point(buf, g2spec, nb2, nc2)
+    a_g1 = _read_points(buf, g1spec)
+    b_g1 = _read_points(buf, g1spec)
+    k_g1 = _read_points(buf, g1spec)
+    z_g1 = _read_points(buf, g1spec)
+    b_g2 = _read_points(buf, g2spec)
+    return ProvingKey(
+        alpha_g1=alpha_g1,
+        beta_g1=beta_g1,
+        beta_g2=beta_g2,
+        delta_g1=delta_g1,
+        delta_g2=delta_g2,
+        a_g1=a_g1,
+        b_g1=b_g1,
+        b_g2=b_g2,
+        k_g1=k_g1,
+        z_g1=z_g1,
+        domain_log=domain_log,
+    )
+
+
+def vk_to_bytes(vk, g1spec, g2spec) -> bytes:
+    buf = io.BytesIO()
+    buf.write(_MAGIC)
+    buf.write(b"VK")
+    nb1, nb2 = _field_nbytes(g1spec), _field_nbytes(g2spec)
+    nc2 = _ncomp(g2spec)
+    _write_point(buf, vk.alpha_g1, nb1, 1)
+    for pt in (vk.beta_g2, vk.gamma_g2, vk.delta_g2):
+        _write_point(buf, pt, nb2, nc2)
+    _write_points(buf, vk.k_pub_g1, g1spec)
+    return buf.getvalue()
+
+
+def vk_from_bytes(data: bytes, g1spec, g2spec):
+    from davinci_tpu.groth16.core import VerifyingKey
+
+    buf = io.BytesIO(data)
+    assert buf.read(len(_MAGIC)) == _MAGIC, "bad artifact magic"
+    assert buf.read(2) == b"VK", "not a verifying key"
+    nb1, nb2 = _field_nbytes(g1spec), _field_nbytes(g2spec)
+    nc2 = _ncomp(g2spec)
+    alpha_g1 = _read_point(buf, g1spec, nb1, 1)
+    beta_g2 = _read_point(buf, g2spec, nb2, nc2)
+    gamma_g2 = _read_point(buf, g2spec, nb2, nc2)
+    delta_g2 = _read_point(buf, g2spec, nb2, nc2)
+    k_pub_g1 = _read_points(buf, g1spec)
+    return VerifyingKey(
+        alpha_g1=alpha_g1,
+        beta_g2=beta_g2,
+        gamma_g2=gamma_g2,
+        delta_g2=delta_g2,
+        k_pub_g1=k_pub_g1,
+    )
+
+
+# -- proofs (small; JSON-friendly dict of hex ints) --------------------------
+
+
+def _coord_json(v):
+    comps = _coord_components(v)
+    return [hex(c) for c in comps]
+
+
+def proof_to_dict(proof) -> dict:
+    def pt(p):
+        if p.infinity:
+            return None
+        return {"x": _coord_json(p.x.v), "y": _coord_json(p.y.v)}
+
+    return {"a": pt(proof.a), "b": pt(proof.b), "c": pt(proof.c)}
+
+
+def proof_from_dict(d: dict, g1spec, g2spec):
+    from davinci_tpu.groth16.core import Proof
+
+    def pt(obj, spec):
+        if obj is None:
+            return AffinePoint(spec, None, None)
+        xs = [int(h, 16) for h in obj["x"]]
+        ys = [int(h, 16) for h in obj["y"]]
+        fld = spec.fld
+        if len(xs) == 1:
+            return AffinePoint(spec, fld(xs[0]), fld(ys[0]))
+        return AffinePoint(spec, FF(fld, tuple(xs)), FF(fld, tuple(ys)))
+
+    return Proof(a=pt(d["a"], g1spec), b=pt(d["b"], g2spec), c=pt(d["c"], g1spec))
+
+
+# -- constraint-system structure hash ---------------------------------------
+
+
+def cs_structure_hash(cs) -> str:
+    """sha256 of the R1CS structure (matrices + shape), the content-address
+    of circuit artifacts (reference circuits/artifacts.go hash pinning)."""
+    h = hashlib.sha256()
+    h.update(cs.p.to_bytes(96, "big"))
+    h.update(cs.num_public.to_bytes(8, "big"))
+    h.update(cs.num_variables.to_bytes(8, "big"))
+    h.update(len(cs.constraints).to_bytes(8, "big"))
+    for idx, coeff, offs in cs._flat_matrices():
+        h.update(idx.tobytes())
+        h.update(offs.tobytes())
+        for c in coeff:
+            h.update(int(c).to_bytes(96, "big"))
+    return h.hexdigest()

@@ -204,7 +204,9 @@ def _horner_jit(curve, sums, W: int):
     return _horner(curve, sums, W)
 
 
-def _pad_inputs(curve, xs, ys, zs, scalar_limbs, multiple: int = COLS):
+def _pad_inputs(curve, xs, ys, zs, scalar_limbs, multiple: int | None = None):
+    if multiple is None:
+        multiple = COLS  # module attribute: tests may shrink it
     n = xs.shape[0]
     n_pad = max(multiple, 1 << (n - 1).bit_length() if n > 1 else multiple)
     n_pad = -(-n_pad // multiple) * multiple

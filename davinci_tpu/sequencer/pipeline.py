@@ -15,9 +15,13 @@ the results path can run the real Groth16 results-verifier prover.
 
 from __future__ import annotations
 
+import functools
 import json
+import threading
 import time
 from dataclasses import dataclass, field
+
+from davinci_tpu import log
 
 from davinci_tpu import spec
 from davinci_tpu.elgamal import Ballot
@@ -26,6 +30,19 @@ from davinci_tpu.state import State, Vote, ballot_index_key
 from davinci_tpu.storage import Storage, VoteIDStatus
 
 VOTES_PER_BATCH = spec.VOTES_PER_BATCH
+
+
+def _locked(fn):
+    """Serialize pipeline mutation per sequencer — the reference's
+    workInProgressLock (sequencer/sequencer.go:44): API threads and tick
+    processors share Storage/State, so ticks are mutually exclusive."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **k):
+        with self.work_lock:
+            return fn(self, *a, **k)
+
+    return wrapper
 
 
 # ---------------------------------------------------------------------------
@@ -137,6 +154,7 @@ class Sequencer:
     ):
         self.storage = storage
         self.chain = chain
+        self.work_lock = threading.RLock()
         self.provers = provers or DevStubProvers()
         self.batch_time_window = batch_time_window
         self.max_dl_bound = max_dl_bound
@@ -147,6 +165,7 @@ class Sequencer:
 
     # -- process lifecycle ---------------------------------------------------
 
+    @_locked
     def register_process(self, info: ProcessInfo, priv_key: int | None = None):
         st = State(info.process_id)
         st.initialize(info.census_origin, info.ballot_mode, info.encryption_key)
@@ -157,6 +176,7 @@ class Sequencer:
 
     # -- intake (API role) ---------------------------------------------------
 
+    @_locked
     def submit_ballot(
         self, pid: int, address: int, ballot: Ballot, vote_id: int, weight: int = 1
     ):
@@ -176,6 +196,7 @@ class Sequencer:
 
     # -- processors ----------------------------------------------------------
 
+    @_locked
     def tick_ballot(self, max_items: int = 8):
         """Pending -> verified (vote-verifier proof per ballot)."""
         for seq, item in self.storage.pending_ballots.next(max_items):
@@ -188,6 +209,7 @@ class Sequencer:
             self.storage.bump_stat(item["pid"], "verified_votes")
             self.storage.pending_ballots.done(seq)
 
+    @_locked
     def tick_aggregate(self):
         """>=60 verified ballots or expired batch window -> aggregator proof
         (reference sequencer/aggregate.go:386-421 trigger logic)."""
@@ -217,6 +239,7 @@ class Sequencer:
         for pid in {b["pid"] for b in ballots}:
             self.first_ballot_time.pop(pid, None)
 
+    @_locked
     def tick_transition(self, rng=None):
         """Aggregated batch -> re-encrypt, state batch, blob, transition
         proof (reference sequencer/statetransition.go:48-205)."""
@@ -280,6 +303,7 @@ class Sequencer:
         self.storage.bump_stat(pid, "state_transitions")
         self.storage.agg_batches.done(seq)
 
+    @_locked
     def tick_onchain(self):
         """Submit transitions; settle on success, roll back on failure
         (reference sequencer/onchain.go:135-279)."""
@@ -302,6 +326,7 @@ class Sequencer:
         self.storage.bump_stat(pid, "settled_transitions")
         self.storage.transition_batches.done(seq)
 
+    @_locked
     def tick_finalizer(self, rng=None, prove_real: bool = False):
         """Ended processes: decrypt results + decryption proofs + results
         proof (reference sequencer/finalizer.go:266-451)."""
@@ -318,17 +343,29 @@ class Sequencer:
                 continue
             w = results_witness_from_state(st, priv, self.max_dl_bound, rng)
             if prove_real:
+                # real results-verifier prove through the artifact cache —
+                # setup runs once per circuit structure, never per finalize
+                # (reference circuits/artifacts.go LoadOrDownload semantics)
+                from davinci_tpu.circuits.artifacts import default_store
                 from davinci_tpu.circuits.results import build_results_circuit
-                from davinci_tpu.groth16 import Groth16
+                from davinci_tpu.groth16.serialize import proof_to_dict
 
                 cs = build_results_circuit(w)
-                g16 = Groth16("bn254")
-                pk, vk = g16.setup(cs)
-                proof = g16.prove(pk, cs)
-                assert g16.verify(vk, proof, [w.state_root] + w.results)
-                proof_blob = {"kind": "results", "proven": True}
+                rt = default_store().load_or_setup("results-v1", "bn254", cs)
+                proof = rt.prove_and_verify(cs)
+                # the actual proof is kept and submitted (reference
+                # sequencer/onchain.go:280 processResultsOnChain)
+                proof_blob = {
+                    "kind": "results",
+                    "proven": True,
+                    "proof": proof_to_dict(proof),
+                    "public": [hex(x) for x in cs.public_values()],
+                }
             else:
                 proof_blob = self.provers.prove_results(w)
+            log.infow(
+                "finalizer.results", pid=pid, proven=proof_blob.get("proven"),
+            )
             self.chain.submit_results(pid, w.results, proof_blob)
             self.storage.verified_results.push(
                 {"pid": pid, "results": w.results, "proof": proof_blob}

@@ -10,6 +10,7 @@ stale-reservation release + crash cleanup cleanup.go; process_stats.go).
 from __future__ import annotations
 
 import json
+import threading
 import time
 from enum import IntEnum
 
@@ -49,10 +50,13 @@ def _now() -> float:
 class Queue:
     """FIFO queue with reservations over a KV namespace."""
 
-    def __init__(self, kv, name: str, reservation_timeout: float = 60.0):
+    def __init__(self, kv, name: str, reservation_timeout: float = 60.0, lock=None):
         self.kv = kv
         self.name = name.encode()
         self.timeout = reservation_timeout
+        # shared with the owning Storage when present: the reference guards
+        # all queue mutation behind a global lock (storage globalLock)
+        self.lock = lock or threading.RLock()
 
     def _seq_next(self) -> int:
         key = _P_SEQ + self.name
@@ -64,14 +68,19 @@ class Queue:
         return _P_QUEUE + self.name + b"/" + seq.to_bytes(8, "big")
 
     def push(self, item: dict) -> int:
-        seq = self._seq_next()
-        self.kv.put(self._qkey(seq), json.dumps(item).encode())
-        return seq
+        with self.lock:
+            seq = self._seq_next()
+            self.kv.put(self._qkey(seq), json.dumps(item).encode())
+            return seq
 
     def next(self, max_items: int = 1) -> list[tuple[int, dict]]:
         """Reserve and return up to max_items unreserved items (FIFO)."""
-        out = []
         now = _now()
+        with self.lock:
+            return self._next_locked(max_items, now)
+
+    def _next_locked(self, max_items, now):
+        out = []
         for k, v in self.kv.iter_prefix(_P_QUEUE + self.name + b"/"):
             seq = int.from_bytes(k[-8:], "big")
             rkey = _P_RESV + self.name + b"/" + k[-8:]
@@ -129,8 +138,9 @@ class Storage:
 
     def __init__(self, kv, reservation_timeout: float = 60.0):
         self.kv = kv
+        self.lock = threading.RLock()  # reference storage globalLock role
         for q in self.QUEUES:
-            setattr(self, q, Queue(kv, q, reservation_timeout))
+            setattr(self, q, Queue(kv, q, reservation_timeout, lock=self.lock))
 
     # -- vote-ID status machine ---------------------------------------------
 
@@ -142,6 +152,10 @@ class Storage:
         )
 
     def set_vote_status(self, process_id: int, vote_id: int, status: VoteIDStatus):
+        with self.lock:
+            return self._set_vote_status_locked(process_id, vote_id, status)
+
+    def _set_vote_status_locked(self, process_id, vote_id, status):
         key = self._status_key(process_id, vote_id)
         cur = self.kv.get(key)
         if cur is not None:
@@ -157,9 +171,10 @@ class Storage:
     # -- per-process stats ---------------------------------------------------
 
     def bump_stat(self, process_id: int, name: str, delta: int = 1):
-        key = _P_STATS + process_id.to_bytes(32, "big") + name.encode()
-        cur = int(self.kv.get(key) or b"0")
-        self.kv.put(key, str(cur + delta).encode())
+        with self.lock:
+            key = _P_STATS + process_id.to_bytes(32, "big") + name.encode()
+            cur = int(self.kv.get(key) or b"0")
+            self.kv.put(key, str(cur + delta).encode())
 
     def stats(self, process_id: int) -> dict:
         prefix = _P_STATS + process_id.to_bytes(32, "big")
