@@ -63,7 +63,9 @@ class Proof:
 
 
 class Groth16:
-    """Groth16 over one pairing curve ('bn254', 'bls12_377', 'bls12_381')."""
+    """Groth16 over one pairing curve ('bn254', 'bls12_377', 'bls12_381',
+    'bw6_761' — the latter backing the aggregator circuit's outer proofs,
+    reference circuits/aggregator/compile.go:19)."""
 
     def __init__(self, curve_name: str):
         self.ctx = PAIRINGS[curve_name]
@@ -71,6 +73,7 @@ class Groth16:
             "bn254": F.bn254_fr,
             "bls12_377": F.bls12_377_fr,
             "bls12_381": F.bls12_381_fr,
+            "bw6_761": F.bw6_761_fr,
         }[curve_name]
         self.g1 = self.ctx.g1
         self.g2 = self.ctx.g2

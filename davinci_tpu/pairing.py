@@ -145,6 +145,105 @@ class PairingCtx:
         return acc**self.final_exp == self.fp12.one_ff()
 
 
+class BW6PairingCtx:
+    """BW6-761: embedding degree 6, G1 AND G2 over Fp (sextic M-twist with
+    xi = u^3 = -4), Fp6 = Fp3[v]/(v^2 - u), Fp3 = Fp[u]/(u^3 + 4).
+
+    The pairing is the reduced TATE pairing e(P, Q) = f_{r,P}(psi(Q))^
+    ((p^6-1)/r): the Miller function is built over G1 (coords in Fp —
+    cheap host bignum steps), evaluated at the untwisted Q in Fp6;
+    vertical-line denominators lie in the subfield Fp3 and are killed by
+    the final exponentiation (standard denominator elimination), so only
+    line numerators are multiplied.  Correctness-first host path — proving
+    only needs MSM/NTT; this backs Groth16-over-BW6 *verification* for the
+    aggregator circuit (reference circuits/aggregator compile.go:19-39,
+    gnark-crypto bw6-761 role).
+    """
+
+    name = "bw6_761"
+
+    def __init__(self):
+        from davinci_tpu.towers import CubicExt, QuadExt
+
+        self.g1 = C.bw6_g1
+        self.g2 = C.bw6_g2
+        self.p = F.BW6_761_P
+        self.r = F.BW6_761_R
+        fp = C.fp_bw6
+        self.fp = fp
+        self.fp3 = CubicExt(fp, fp(-4), "bw6.fp3")
+        self.fp6 = QuadExt(
+            self.fp3, FF(self.fp3, (0, 1, 0)), "bw6.fp6"
+        )  # v^2 = u
+        self.final_exp = (self.p**6 - 1) // self.r
+        assert (self.p**6 - 1) % self.r == 0
+        # untwist psi(x, y) = (x * w^-2, y * w^-3) for the M-type twist
+        z3 = self.fp3.zero_ff().v
+        w = FF(self.fp6, (z3, self.fp3.one_ff().v))
+        self.w2_inv = (w * w).inv()
+        self.w3_inv = (w * w * w).inv()
+        # sanity: untwisted generator lands on E(Fp6): y^2 = x^3 + b
+        gx, gy = self._untwist(self.g2.gen)
+        b6 = self.fp6.from_int(self.g1.b_ff.v)
+        assert gy * gy == gx * gx * gx + b6, "BW6 untwist inconsistent"
+
+    def _untwist(self, q: AffinePoint):
+        x6 = self.fp6.from_int(q.x.v) * self.w2_inv
+        y6 = self.fp6.from_int(q.y.v) * self.w3_inv
+        return (x6, y6)
+
+    def miller(self, P: AffinePoint, Q: AffinePoint) -> FF:
+        """f_{r,P} evaluated at psi(Q) (numerators only)."""
+        p = self.p
+        xq, yq = self._untwist(Q)
+        one6 = self.fp6.one_ff()
+        xt, yt = P.x.v, P.y.v
+        xp, yp = P.x.v, P.y.v
+        f = one6
+
+        def line_eval(lam, xt, yt):
+            # l(Q) = lam*(x_Q - x_T) - (y_Q - y_T)
+            return (xq - self.fp6.from_int(xt)) * lam - (
+                yq - self.fp6.from_int(yt)
+            )
+
+        bits = bin(self.r)[3:]
+        t_inf = False
+        for i, b in enumerate(bits):
+            assert not t_inf
+            # doubling step
+            lam = 3 * xt * xt % p * pow(2 * yt % p, -1, p) % p
+            f = f * f * line_eval(lam, xt, yt)
+            x3 = (lam * lam - 2 * xt) % p
+            y3 = (lam * (xt - x3) - yt) % p
+            xt, yt = x3, y3
+            if b == "1":
+                if xt == xp and (yt + yp) % p == 0:
+                    # T == -P: the final vertical line lies in the Fp3
+                    # subfield — killed by the final exponentiation; skip.
+                    t_inf = True
+                    continue
+                lam = (yp - yt) % p * pow((xp - xt) % p, -1, p) % p
+                f = f * line_eval(lam, xt, yt)
+                x3 = (lam * lam - xt - xp) % p
+                y3 = (lam * (xt - x3) - yt) % p
+                xt, yt = x3, y3
+        return f
+
+    def pair(self, P: AffinePoint, Q: AffinePoint) -> FF:
+        if P.infinity or Q.infinity:
+            return self.fp6.one_ff()
+        return self.miller(P, Q) ** self.final_exp
+
+    def pairing_check(self, pairs) -> bool:
+        acc = self.fp6.one_ff()
+        for P, Q in pairs:
+            if P.infinity or Q.infinity:
+                continue
+            acc = acc * self.miller(P, Q)
+        return acc**self.final_exp == self.fp6.one_ff()
+
+
 bn254_pairing = PairingCtx(
     "bn254",
     C.bn254_g1,
@@ -184,8 +283,11 @@ bls381_pairing = PairingCtx(
     twist_d_type=False,
 )
 
+bw6_pairing = BW6PairingCtx()
+
 PAIRINGS = {
     "bn254": bn254_pairing,
     "bls12_377": bls377_pairing,
     "bls12_381": bls381_pairing,
+    "bw6_761": bw6_pairing,
 }
