@@ -52,6 +52,10 @@ class NativeOps:
     def smul(self, a, k: int):
         return a * k
 
+    def cmul(self, a, k: int):
+        """Multiply by a field constant — free (linear combination)."""
+        return a * k
+
     def mul(self, a, b):
         return self.cs.mul(a, b)
 
@@ -80,10 +84,12 @@ class NativeOps:
 class QuadOps:
     """K[u]/(u^2 - nr) over a base ops provider.  Elements: (a0, a1)."""
 
-    def __init__(self, base, nr):
+    def __init__(self, base, nr, nr_mul=None):
         self.base = base
         self.cs = base.cs
         self.nr = nr  # base element (constant)
+        # fast multiply-by-nonresidue (constant): defaults to a full mul
+        self._nr_mul = nr_mul or (lambda a: base.mul(a, nr))
         self.zero = (base.zero, base.zero)
         self.one = (base.one, base.zero)
 
@@ -123,10 +129,15 @@ class QuadOps:
         t1 = B.mul(a[1], b[1])
         mid = B.mul(B.add(a[0], a[1]), B.add(b[0], b[1]))
         mid = B.sub(B.sub(mid, t0), t1)
-        return (B.add(t0, B.mul(t1, self.nr)), mid)
+        return (B.add(t0, self._nr_mul(t1)), mid)
 
     def square(self, a):
-        return self.mul(a, a)
+        # complex squaring: 2 base muls + 2 nonresidue constant-muls
+        B = self.base
+        t = B.mul(a[0], a[1])
+        c0 = B.mul(B.add(a[0], a[1]), B.add(a[0], self._nr_mul(a[1])))
+        c0 = B.sub(B.sub(c0, t), self._nr_mul(t))
+        return (c0, B.add(t, t))
 
     def mul_base(self, a, c):
         """Multiply by a base-field element."""
@@ -134,15 +145,14 @@ class QuadOps:
         return (B.mul(a[0], c), B.mul(a[1], c))
 
     def mul_by_nonresidue(self, a):
-        B = self.base
-        return (B.mul(a[1], self.nr), a[0])
+        return (self._nr_mul(a[1]), a[0])
 
     def conj(self, a):
         return (a[0], self.base.neg(a[1]))
 
     def inv(self, a):
         B = self.base
-        norm = B.sub(B.mul(a[0], a[0]), B.mul(self.nr, B.mul(a[1], a[1])))
+        norm = B.sub(B.mul(a[0], a[0]), self._nr_mul(B.mul(a[1], a[1])))
         ninv = B.inv(norm)
         return (B.mul(a[0], ninv), B.neg(B.mul(a[1], ninv)))
 
@@ -170,10 +180,11 @@ class QuadOps:
 class CubicOps:
     """K[v]/(v^3 - nr) over a base ops provider.  Elements: (a0, a1, a2)."""
 
-    def __init__(self, base, nr):
+    def __init__(self, base, nr, nr_mul=None):
         self.base = base
         self.cs = base.cs
         self.nr = nr
+        self._nr_mul = nr_mul or (lambda a: base.mul(a, nr))
         self.zero = (base.zero, base.zero, base.zero)
         self.one = (base.one, base.zero, base.zero)
 
@@ -217,8 +228,8 @@ class CubicOps:
         m12 = B.mul(B.add(a[1], a[2]), B.add(b[1], b[2]))
         m01 = B.mul(B.add(a[0], a[1]), B.add(b[0], b[1]))
         m02 = B.mul(B.add(a[0], a[2]), B.add(b[0], b[2]))
-        c0 = B.add(t0, B.mul(nr, B.sub(B.sub(m12, t1), t2)))
-        c1 = B.add(B.sub(B.sub(m01, t0), t1), B.mul(nr, t2))
+        c0 = B.add(t0, self._nr_mul(B.sub(B.sub(m12, t1), t2)))
+        c1 = B.add(B.sub(B.sub(m01, t0), t1), self._nr_mul(t2))
         c2 = B.add(B.sub(B.sub(m02, t0), t2), t1)
         return (c0, c1, c2)
 
@@ -230,7 +241,7 @@ class CubicOps:
         return tuple(B.mul(x, c) for x in a)
 
     def mul_by_nonresidue(self, a):
-        return (self.base.mul(a[2], self.nr), a[0], a[1])
+        return (self._nr_mul(a[2]), a[0], a[1])
 
     def inv(self, a):
         # mirrors towers.CubicExt.inv (c0,c1,c2 / norm)
@@ -242,11 +253,11 @@ class CubicOps:
         t3 = B.mul(a0, a1)
         t4 = B.mul(a0, a2)
         t5 = B.mul(a1, a2)
-        c0 = B.sub(t0, B.mul(nr, t5))
-        c1 = B.sub(B.mul(nr, t2), t3)
+        c0 = B.sub(t0, self._nr_mul(t5))
+        c1 = B.sub(self._nr_mul(t2), t3)
         c2 = B.sub(t1, t4)
         d = B.add(
-            B.mul(a0, c0), B.mul(nr, B.add(B.mul(a2, c1), B.mul(a1, c2)))
+            B.mul(a0, c0), self._nr_mul(B.add(B.mul(a2, c1), B.mul(a1, c2)))
         )
         dinv = B.inv(d)
         return (B.mul(c0, dinv), B.mul(c1, dinv), B.mul(c2, dinv))
@@ -359,7 +370,13 @@ class WeierstrassGadget:
         for bits in bit_lists:
             assert len(bits) == nbits
         acc = self.constant_point(aux)
-        base_consts = [self.constant_point(K) for K in bases]
+        # bases: host AffinePoints (constants) or gadget points (variables,
+        # e.g. the ECDSA public key) — the aux-offset completeness argument
+        # covers both (a collision would exhibit a dlog relation with T)
+        base_consts = [
+            K if isinstance(K, tuple) else self.constant_point(K)
+            for K in bases
+        ]
         for j in reversed(range(nbits)):
             acc = self.double(acc)
             for bits, K in zip(bit_lists, base_consts):

@@ -120,6 +120,35 @@ class EmulatedOps:
             EmuVar([x * k for x in a.limbs], a.bound * k)
         )
 
+    def cmul(self, a: EmuVar, k: int) -> EmuVar:
+        """Multiply by an arbitrary field constant.  Small constants scale
+        limbs lazily (free); large ones run a constant-side convolution —
+        all product columns are LINEAR in a's limbs, so the only cost is
+        the quotient/remainder allocation + carry chain (~60% of a mul)."""
+        k %= self.p
+        if k == 0:
+            return self.zero
+        if (a.bound * k).bit_length() <= self._mul_bound_bits:
+            return EmuVar([x * k for x in a.limbs], a.bound * k)
+        a = self._maybe_reduce(a)
+        k_limbs = self._split_exact(k)
+        v = self.raw_int(a) * k
+        q_int, r_int = divmod(v, self.p)
+        q = self._alloc_q(q_int, max(1, self._int_max(a) * k // self.p))
+        r = self.alloc(r_int)
+        a_ints = [l.value for l in a.limbs]
+        K = len(a.limbs) + len(k_limbs) - 1
+        cols = [self.cs.constant(0) for _ in range(K)]
+        col_ints = [0] * K
+        for i, al in enumerate(a.limbs):
+            for j, kj in enumerate(k_limbs):
+                if kj:
+                    cols[i + j] = cols[i + j] + al * kj
+                    col_ints[i + j] += a_ints[i] * kj
+        R, R_ints = self._qr_terms(q, r)
+        self._carry_check(cols, col_ints, R, R_ints)
+        return r
+
     def sub(self, a: EmuVar, b: EmuVar) -> EmuVar:
         """a - b, made limb-wise non-negative by adding a multiple of p whose
         every limb dominates b's bound."""

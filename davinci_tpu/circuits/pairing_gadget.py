@@ -53,10 +53,30 @@ class PairingGadget12:
             else:
                 base_ops = EmulatedOps(cs, ctx.p)
         self.base = base_ops
-        # tower ops mirroring the host tower shapes (towers.py)
-        self.fp2 = QuadOps(base_ops, base_ops.constant(ctx.fp2.nr))
-        self.fp6 = CubicOps(self.fp2, self.fp2.constant(ctx.fp6.nr))
-        self.fp12 = QuadOps(self.fp6, self.fp6.constant(ctx.fp12.nr))
+        # tower ops mirroring the host tower shapes (towers.py), with
+        # constant-multiplication fast paths for the nonresidues (free for
+        # native ops; linear for emulated)
+        nr2 = ctx.fp2.nr
+        self.fp2 = QuadOps(
+            base_ops,
+            base_ops.constant(nr2),
+            nr_mul=lambda a: base_ops.cmul(a, nr2),
+        )
+        xi0, xi1 = ctx.fp6.nr  # xi in Fp2 (raw pair)
+        nr_xi1 = nr2 * xi1 % ctx.p
+
+        def _xi_mul(a):
+            B = base_ops
+            c0 = B.add(B.cmul(a[0], xi0), B.cmul(a[1], nr_xi1))
+            c1 = B.add(B.cmul(a[0], xi1), B.cmul(a[1], xi0))
+            return (c0, c1)
+
+        self.fp6 = CubicOps(self.fp2, self.fp2.constant(ctx.fp6.nr), nr_mul=_xi_mul)
+        self.fp12 = QuadOps(
+            self.fp6,
+            self.fp6.constant(ctx.fp12.nr),
+            nr_mul=self.fp6.mul_by_nonresidue,
+        )
         self.g1 = WeierstrassGadget(base_ops, base_ops.constant(ctx.g1.b_ff.v))
         self.g2 = WeierstrassGadget(self.fp2, self.fp2.constant(ctx.g2.b_ff.v))
         # r-th-root final-exp witness validity: r || p^12 - 1
@@ -259,16 +279,50 @@ class PairingGadget12:
 
     def assert_final_exp_is_one(self, f):
         """Assert f^((p^12-1)/r) == 1 via the r-th-power residue witness:
-        hint c = f^(r^-1 mod (p^12-1)/r), assert c^r == f in-circuit."""
+        hint c = f^(r^-1 mod cofactor), assert c^r == f in-circuit (~250
+        cheap squarings — the same family of tricks as "On Proving
+        Pairings"; exponents shorter than r cannot be complete here since
+        any sound residue exponent must be a multiple of r)."""
         f_host = self.fp12_value(f)
+        f12 = self.fp12
         c_host = f_host**self._r_inv_mod_cof
-        # completeness sanity (host-side; failure means f is NOT a residue,
-        # i.e. the pairing product check is false):
         assert (c_host ** self.ctx.r) == f_host, "pairing product != 1"
-        c = self.fp12.alloc(c_host.v)
-        self.fp12.inv(c)  # c != 0: rules out the degenerate c=0 -> f=0 case
+        c = f12.alloc(c_host.v)
+        f12.inv(c)  # c != 0: rules out the degenerate c=0 -> f=0 case
         acc = self._pow_const(c, self.ctx.r)
-        self.fp12.assert_eq(acc, f)
+        f12.assert_eq(acc, f)
+
+    def _frobenius(self, f, k: int = 1):
+        """f^(p^k) on the fp12 gadget: conjugate Fp2 coefficients (odd k)
+        and scale each basis coefficient by a host constant:
+        (v^i w^j)^(p^k) = v^i w^j * xi^((i*2 + j)(p^k - 1)/6)."""
+        ctx = self.ctx
+        h2 = ctx.fp2
+        e = ctx.p**k - 1
+        assert e % 6 == 0
+        xi = FF(h2, ctx.fp6.nr)
+        g = xi ** (e // 6)  # = w^(p^k - 1), lies in Fp2
+        f2 = self.fp2
+        (a0, a1, a2), (b0, b1, b2) = f
+        coeffs = [(a0, 0), (a1, 2), (a2, 4), (b0, 1), (b1, 3), (b2, 5)]
+        out = []
+        for c, wpow in coeffs:
+            if k % 2 == 1:
+                c = f2.conj(c)
+            scale = (g**wpow).v
+            out.append(self._fp2_cmul_const(c, scale))
+        return ((out[0], out[1], out[2]), (out[3], out[4], out[5]))
+
+    def _fp2_cmul_const(self, a, kv):
+        """fp2 gadget element times a host Fp2 constant (x0, x1): linear."""
+        B = self.base
+        x0, x1 = kv
+        nr2 = self.ctx.fp2.nr
+        if x1 % self.ctx.p == 0:
+            return (B.cmul(a[0], x0), B.cmul(a[1], x0))
+        c0 = B.add(B.cmul(a[0], x0), B.cmul(a[1], nr2 * x1 % self.ctx.p))
+        c1 = B.add(B.cmul(a[0], x1), B.cmul(a[1], x0))
+        return (c0, c1)
 
     def _pow_const(self, c, e: int):
         f12 = self.fp12

@@ -67,9 +67,12 @@ class Groth16:
     'bw6_761' — the latter backing the aggregator circuit's outer proofs,
     reference circuits/aggregator/compile.go:19)."""
 
-    def __init__(self, curve_name: str):
-        self.ctx = PAIRINGS[curve_name]
-        self.fr = {
+    def __init__(self, curve_name: str, ctx=None, fr=None):
+        """Either a registered curve name, or an explicit (ctx, fr) pair —
+        the latter lets synthetic curve families (toy recursion chains in
+        CI, circuits/toycurve.py) reuse the whole backend."""
+        self.ctx = ctx or PAIRINGS[curve_name]
+        self.fr = fr or {
             "bn254": F.bn254_fr,
             "bls12_377": F.bls12_377_fr,
             "bls12_381": F.bls12_381_fr,

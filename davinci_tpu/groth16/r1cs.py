@@ -319,6 +319,19 @@ class ConstraintSystem:
         return self.values[1 : 1 + self.num_public]
 
     def check_satisfied(self) -> bool:
+        n = len(self.constraints)
+        if n > 20000:
+            # vectorized path for big systems (gadget-heavy circuits)
+            import numpy as np
+
+            az, bz, cz = self.matvec_all(self.witness(), n)
+            a = np.empty(n, object)
+            a[:] = az[:n]
+            b = np.empty(n, object)
+            b[:] = bz[:n]
+            c = np.empty(n, object)
+            c[:] = cz[:n]
+            return bool((((a * b - c) % self.p) == 0).all())
         return self.first_unsatisfied() is None
 
     def first_unsatisfied(self):

@@ -1,0 +1,50 @@
+"""End-to-end EMULATED recursion at CI scale: a real Groth16 proof on the
+toy BLS12 curve (circuits/toycurve.py) verified IN-CIRCUIT over BLS12-377
+through EmulatedOps — the exact code path the full-size vote verifier
+(circuit 2) uses with BN254 inner proofs (reference
+circuits/voteverifier/vote_verifier.go:71-87).
+
+This is the heavyweight CI test (~2 min: ~3.5M-constraint build +
+vectorized satisfiability); full-size BN254-in-BLS377 is gated."""
+
+import pytest
+
+from davinci_tpu import fields as F
+from davinci_tpu.circuits.pairing_gadget import Groth16VerifierGadget
+from davinci_tpu.circuits.toycurve import toy_bls12, toy_groth16
+from davinci_tpu.groth16 import ConstraintSystem
+
+
+@pytest.fixture(scope="module")
+def toy_inner():
+    t = toy_bls12()
+    g16 = toy_groth16()
+    cs = ConstraintSystem(t["r"])
+    y_v = (3**3 + 3 + 5) % t["r"]
+    y = cs.pub_input(y_v)
+    x = cs.priv_input(3)
+    cs.assert_eq(cs.mul(cs.mul(x, x), x) + x + 5, y)
+    pk, vk = g16.setup(cs)
+    proof = g16.prove(pk, cs, r_rand=7, s_rand=11)
+    assert g16.verify(vk, proof, [y_v])
+    return t, vk, proof, y_v
+
+
+def test_emulated_groth16_verify_in_circuit(toy_inner):
+    t, vk, proof, y_v = toy_inner
+    cs = ConstraintSystem(F.BLS12_377_R)
+    gadget = Groth16VerifierGadget(cs, t["ctx"], vk)  # emulated base ops
+    yb = gadget.scalar_bits_from_native(cs.priv_input(y_v))
+    pv = gadget.alloc_proof(proof)
+    gadget.assert_valid(pv, [yb])
+    assert cs.check_satisfied()
+
+
+def test_emulated_groth16_verify_rejects_bad_public(toy_inner):
+    t, vk, proof, y_v = toy_inner
+    cs = ConstraintSystem(F.BLS12_377_R)
+    gadget = Groth16VerifierGadget(cs, t["ctx"], vk)
+    yb = gadget.scalar_bits_from_native(cs.priv_input(y_v + 1))
+    pv = gadget.alloc_proof(proof)
+    with pytest.raises(AssertionError):
+        gadget.assert_valid(pv, [yb])
