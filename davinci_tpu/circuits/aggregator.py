@@ -3,8 +3,12 @@ VOTES_PER_BATCH vote-verifier proofs (BLS12-377) with dummy padding.
 
 Statement (reference circuits/aggregator/aggregator.go:18-56, FillWithDummy
 helpers.go:19-30, canonical dummy voteverifier/dummy.go:14-60):
-  public:  batch_hash = MultiPoseidon_{BW6Fr}(valid_count,
-                          mask_1*vote_hash_1, ..., mask_N*vote_hash_N)
+  public:  batch_hash = keccak256(count_byte || masked vote hashes as
+           32-byte words)[:31 bytes]  — keccak because it is a BOOLEAN
+           circuit, equally cheap natively here (BW6) and in the BN254
+           state-transition circuit that must recompute it; a Poseidon
+           batch hash would force multi-million-constraint emulated
+           arithmetic on one side or the other.
   private: N vote hashes, N proofs, the latch mask.
   checks:
     * mask bits are boolean and non-increasing (real votes form a prefix —
@@ -27,11 +31,12 @@ from dataclasses import dataclass
 
 from davinci_tpu import fields as F
 from davinci_tpu import spec as protocol
-from davinci_tpu.circuits import gadgets as G
+from davinci_tpu.circuits.keccak_gadget import keccak256_bits
 from davinci_tpu.circuits.pairing_gadget import Groth16VerifierGadget
 from davinci_tpu.groth16.r1cs import ConstraintSystem
-from davinci_tpu.hash.poseidon import multi_poseidon
 from davinci_tpu.pairing import bls377_pairing
+
+BATCH_HASH_BYTES = 31  # truncated keccak digest (embeds in every field)
 
 
 @dataclass
@@ -63,11 +68,14 @@ class AggregatorWitness:
 
 
 def batch_hash(params: AggregatorParams, witness: AggregatorWitness) -> int:
+    """Host oracle: keccak256(count || masked 32-byte vote hashes)[:31]."""
+    from davinci_tpu.ethereum import keccak256
+
     vh, _, mask = witness.padded(params)
-    inputs = [len(witness.proofs)] + [
-        h if m else 0 for h, m in zip(vh, mask)
-    ]
-    return multi_poseidon(inputs, p=params.native_r)
+    data = bytes([len(witness.proofs)]) + b"".join(
+        (h if m else 0).to_bytes(32, "big") for h, m in zip(vh, mask)
+    )
+    return int.from_bytes(keccak256(data)[:BATCH_HASH_BYTES], "big")
 
 
 def build_aggregator_circuit(
@@ -91,16 +99,46 @@ def build_aggregator_circuit(
             count = count + b
 
     gadget = Groth16VerifierGadget(cs, bls377_pairing, params.inner_vk)
-    hash_inputs = [count]
+    masked_bits = []
     for i in range(params.n_votes):
         with cs.scope(f"verify-{i}"):
             vh = cs.priv_input(vh_vals[i])
             bits = gadget.scalar_bits_from_native(vh)
             pv = gadget.alloc_proof(proofs[i])
             gadget.assert_valid(pv, [bits])
-            hash_inputs.append(cs.mul(mask[i], vh))
+            masked_bits.append([cs.mul(mask[i], b) for b in bits])
 
     with cs.scope("batch-hash"):
-        bound = G.multi_poseidon_gadget(cs, hash_inputs)
+        # count is < 256 (one byte); bind its byte plus each masked hash
+        # as a 32-byte big-endian word into the keccak message
+        count_bits = cs.to_bits(count, 8)
+        msg = _value_bits_to_bytes(cs, count_bits, 1)
+        for bits in masked_bits:
+            msg += _value_bits_to_bytes(cs, bits, 32)
+        digest = keccak256_bits(cs, msg)
+        bound = _bytes_bits_to_value(cs, digest[: BATCH_HASH_BYTES * 8])
         cs.assert_eq(bound, bh_pub)
     return cs
+
+
+def _value_bits_to_bytes(cs, bits, nbytes: int):
+    """Little-endian value bits -> keccak byte-layout bits of the big-endian
+    byte string."""
+    zero = cs.constant(0)
+    padded = (list(bits) + [zero] * (nbytes * 8))[: nbytes * 8]
+    out = []
+    for j in range(nbytes):
+        out.extend(padded[8 * (nbytes - 1 - j) : 8 * (nbytes - j)])
+    return out
+
+
+def _bytes_bits_to_value(cs, msg_bits):
+    """Keccak byte-layout bits -> the big-endian integer as a LinComb."""
+    nbytes = len(msg_bits) // 8
+    acc = cs.constant(0)
+    w = 0
+    for j in reversed(range(nbytes)):
+        for i in range(8):
+            acc = acc + cs.coerce(msg_bits[8 * j + i]) * (1 << (w))
+            w += 1
+    return acc

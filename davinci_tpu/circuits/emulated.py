@@ -149,6 +149,38 @@ class EmulatedOps:
         self._carry_check(cols, col_ints, R, R_ints)
         return r
 
+    def lincomb(self, terms) -> EmuVar:
+        """sum_i k_i * x_i for constant k_i — ONE quotient/remainder/carry
+        check for the whole combination (the emulated-Poseidon MDS trick):
+        all product columns are linear in the x limbs."""
+        terms = [(x, k % self.p) for x, k in terms]
+        terms = [(self._maybe_reduce(x), k) for x, k in terms if k]
+        if not terms:
+            return self.zero
+        v = sum(self.raw_int(x) * k for x, k in terms)
+        q_int, r_int = divmod(v, self.p)
+        q_max = max(
+            1, sum(self._int_max(x) * k for x, k in terms) // self.p
+        )
+        q = self._alloc_q(q_int, q_max)
+        r = self.alloc(r_int)
+        K = max(
+            len(x.limbs) + len(self._split_exact(k)) - 1 for x, k in terms
+        )
+        cols = [self.cs.constant(0) for _ in range(K)]
+        col_ints = [0] * K
+        for x, k in terms:
+            k_limbs = self._split_exact(k)
+            x_ints = [l.value for l in x.limbs]
+            for i, xl in enumerate(x.limbs):
+                for j, kj in enumerate(k_limbs):
+                    if kj:
+                        cols[i + j] = cols[i + j] + xl * kj
+                        col_ints[i + j] += x_ints[i] * kj
+        R, R_ints = self._qr_terms(q, r)
+        self._carry_check(cols, col_ints, R, R_ints)
+        return r
+
     def sub(self, a: EmuVar, b: EmuVar) -> EmuVar:
         """a - b, made limb-wise non-negative by adding a multiple of p whose
         every limb dominates b's bound."""

@@ -1,11 +1,13 @@
 """Vote verifier (circuit 2, BLS12-377): the per-vote recursion layer.
 
 Statement (reference circuits/voteverifier/vote_verifier.go:71-110):
-  public:  vote_hash = Poseidon_{BLS377}(processID, address, voteID,
-                                         ih_lo, ih_hi)
+  public:  vote_hash = Poseidon_{BN254}(processID, address, voteID,
+                                        inputs_hash) mod 2^252
+           (the per-vote hash lives in the BN254 field so the
+           state-transition circuit — which sees all 60 votes — recomputes
+           it NATIVELY; this circuit pays the one-time emulated Poseidon)
   private: the circuit-1 ballot proof + its public input (the
-           ballot-inputs hash, split into two 127-bit halves for native
-           hashing), the voter's ECDSA public key and signature.
+           ballot-inputs hash), the voter's ECDSA public key + signature.
   checks:
     1. the circuit-1 Groth16 proof verifies under the baked-in inner VK
        (emulated inner-curve pairing: gnark sw_bn254 role);
@@ -33,8 +35,11 @@ from davinci_tpu.circuits.keccak_gadget import (
     keccak256_bits,
 )
 from davinci_tpu.circuits.pairing_gadget import Groth16VerifierGadget
+from davinci_tpu.circuits.xfield_hash import emulated_poseidon
 from davinci_tpu.groth16.r1cs import ConstraintSystem
 from davinci_tpu.hash.poseidon import poseidon_hash
+
+VOTE_HASH_BITS = 252  # truncation: the hash must embed in every chain field
 
 ETH_PREFIX = b"\x19Ethereum Signed Message:\n32"
 
@@ -50,13 +55,14 @@ class VoteVerifierWitness:
     sig_r: int
     sig_s: int
 
-    def vote_hash(self, native_r: int) -> int:
-        ih_lo = self.inputs_hash & ((1 << 127) - 1)
-        ih_hi = self.inputs_hash >> 127
-        return poseidon_hash(
-            [self.process_id, self.address, self.vote_id, ih_lo, ih_hi],
-            p=native_r,
+    def vote_hash(self, hash_p: int) -> int:
+        """Poseidon over the PER-VOTE hash field (BN254 in production),
+        truncated so the value embeds in BLS12-377-Fr and BW6-761-Fr."""
+        h = poseidon_hash(
+            [self.process_id, self.address, self.vote_id, self.inputs_hash],
+            p=hash_p,
         )
+        return h & ((1 << VOTE_HASH_BITS) - 1)
 
 
 @dataclass
@@ -67,12 +73,25 @@ class VoteVerifierParams:
     inner_vk: object      # circuit-1 VerifyingKey (baked constant)
     sig_spec: object      # CurveSpec for ECDSA (secp256k1 / toy g1)
     native_r: int = F.BLS12_377_R
+    hash_p: int = F.BN254_R    # per-vote hash field (native in circuit 4)
     addr_bits: int = 160
     vote_id_bytes: int = 32
     sig_coord_bits: int = 256
+    # CI pipeline-flow tier: drop the two heavyweight sub-statements (the
+    # full composition is covered by tests/test_voteverifier_circuit.py);
+    # production keeps both on.
+    include_inner_proof: bool = True
+    include_signature: bool = True
 
     def circuit_id(self) -> str:
-        return f"voteverifier-{self.inner_ctx.name}-{self.sig_spec.name}-v1"
+        lite = ""
+        if not self.include_inner_proof:
+            lite += "-noinner"
+        if not self.include_signature:
+            lite += "-nosig"
+        return (
+            f"voteverifier-{self.inner_ctx.name}-{self.sig_spec.name}{lite}-v1"
+        )
 
 
 def build_vote_verifier_circuit(
@@ -81,7 +100,7 @@ def build_vote_verifier_circuit(
     cs = ConstraintSystem(params.native_r)
 
     # -- public ------------------------------------------------------------
-    vote_hash_pub = cs.pub_input(w.vote_hash(params.native_r))
+    vote_hash_pub = cs.pub_input(w.vote_hash(params.hash_p))
 
     # -- private witness ---------------------------------------------------
     pid = cs.priv_input(w.process_id)
@@ -89,53 +108,81 @@ def build_vote_verifier_circuit(
     vote_id = cs.priv_input(w.vote_id)
 
     # -- 1. inner (ballot) proof verification ------------------------------
-    with cs.scope("inner-groth16"):
-        gadget = Groth16VerifierGadget(cs, params.inner_ctx, params.inner_vk)
-        ih_nbits = params.inner_ctx.r.bit_length()
-        ih_bits = []
-        for i in range(ih_nbits):
-            b = cs.priv_input((w.inputs_hash >> i) & 1)
-            cs.assert_bool(b)
-            ih_bits.append(b)
-        assert_bits_lt_const(cs, ih_bits, params.inner_ctx.r)
-        proof_vars = gadget.alloc_proof(w.ballot_proof)
-        gadget.assert_valid(proof_vars, [ih_bits])
+    ih_nbits = params.inner_ctx.r.bit_length()
+    ih_bits = []
+    for i in range(ih_nbits):
+        b = cs.priv_input((w.inputs_hash >> i) & 1)
+        cs.assert_bool(b)
+        ih_bits.append(b)
+    assert_bits_lt_const(cs, ih_bits, params.inner_ctx.r)
+    if params.include_inner_proof:
+        with cs.scope("inner-groth16"):
+            gadget = Groth16VerifierGadget(
+                cs, params.inner_ctx, params.inner_vk
+            )
+            proof_vars = gadget.alloc_proof(w.ballot_proof)
+            gadget.assert_valid(proof_vars, [ih_bits])
 
-    # -- 2. ECDSA over the EIP-191 voteID message --------------------------
-    with cs.scope("ecdsa"):
-        ecdsa = ECDSAGadget(cs, params.sig_spec)
-        pub_pt = ecdsa.alloc_pubkey(w.pubkey)
-        # voteID payload: 32-byte big-endian
-        vid_bits = cs.to_bits(vote_id, 64)
-        payload_bits = _int_bits_to_msg_bytes(
-            cs, vid_bits, params.vote_id_bytes
-        )
-        msg = bytes_to_bits(cs, ETH_PREFIX) + payload_bits
-        e_bits_msg = keccak256_bits(cs, msg)
-        # keccak digest (byte layout) -> little-endian integer bits of the
-        # big-endian interpretation, for the scalar-field reduction
-        e_bits = _msg_bytes_to_int_bits(e_bits_msg)
-        ecdsa.verify(pub_pt, w.sig_r, w.sig_s, e_bits)
+    if params.include_signature:
+        # -- 2. ECDSA over the EIP-191 voteID message ----------------------
+        with cs.scope("ecdsa"):
+            ecdsa = ECDSAGadget(cs, params.sig_spec)
+            pub_pt = ecdsa.alloc_pubkey(w.pubkey)
+            # voteID payload: 32-byte big-endian
+            vid_bits = cs.to_bits(vote_id, 64)
+            payload_bits = _int_bits_to_msg_bytes(
+                cs, vid_bits, params.vote_id_bytes
+            )
+            msg = bytes_to_bits(cs, ETH_PREFIX) + payload_bits
+            e_bits_msg = keccak256_bits(cs, msg)
+            e_bits = _msg_bytes_to_int_bits(e_bits_msg)
+            ecdsa.verify(pub_pt, w.sig_r, w.sig_s, e_bits)
 
-    # -- 3. address binding -------------------------------------------------
-    with cs.scope("address"):
-        addr_msg_bits = ecdsa.eth_address_bits(
-            pub_pt, coord_bits=params.sig_coord_bits
-        )
-        addr_int_bits = _msg_bytes_to_int_bits(addr_msg_bits)
-        acc = cs.constant(0)
-        for i, b in enumerate(addr_int_bits):
-            acc = acc + cs.coerce(b) * (1 << i)
-        cs.assert_eq(acc, addr)
+        # -- 3. address binding --------------------------------------------
+        with cs.scope("address"):
+            addr_msg_bits = ecdsa.eth_address_bits(
+                pub_pt, coord_bits=params.sig_coord_bits
+            )
+            addr_int_bits = _msg_bytes_to_int_bits(addr_msg_bits)
+            acc = cs.constant(0)
+            for i, b in enumerate(addr_int_bits):
+                acc = acc + cs.coerce(b) * (1 << i)
+            cs.assert_eq(acc, addr)
 
     # -- 4. public hash binding ---------------------------------------------
+    # Poseidon over the BN254 hash field, emulated here (one per vote);
+    # the state-transition circuit recomputes the same hash natively.
     with cs.scope("vote-hash"):
-        ih_lo = cs.from_bits(ih_bits[:127])
-        ih_hi = cs.from_bits(ih_bits[127:])
-        bound = cs.poseidon([pid, addr, vote_id, ih_lo, ih_hi])
+        from davinci_tpu.circuits.emulated import EmulatedOps
+        from davinci_tpu.circuits.xfield_hash import native_value_to_emu
+
+        Eh = EmulatedOps(cs, params.hash_p)
+        pid_e = native_value_to_emu(cs, Eh, pid, params.native_r.bit_length() - 1)
+        addr_e = native_value_to_emu(cs, Eh, addr, params.addr_bits)
+        vid_e = native_value_to_emu(cs, Eh, vote_id, 64)
+        ih_e = Eh.reduce(
+            _bits_to_emuvar(cs, Eh, ih_bits)
+        )
+        h = emulated_poseidon(cs, Eh, [pid_e, addr_e, vid_e, ih_e])
+        h_bits = Eh.to_canonical_bits(h)
+        bound = cs.from_bits(h_bits[:VOTE_HASH_BITS])
         cs.assert_eq(bound, vote_hash_pub)
 
     return cs
+
+
+def _bits_to_emuvar(cs, E, bits):
+    """Boolean bits -> (unreduced) emulated element via limb regrouping."""
+    from davinci_tpu.circuits.emulated import EmuVar
+
+    limbs = []
+    for off in range(0, len(bits), E.w):
+        chunk = bits[off : off + E.w]
+        acc = cs.constant(0)
+        for i, b in enumerate(chunk):
+            acc = acc + cs.coerce(b) * (1 << i)
+        limbs.append(acc)
+    return EmuVar(limbs, (1 << E.w) - 1)
 
 
 def _int_bits_to_msg_bytes(cs, int_bits, nbytes: int):

@@ -1,0 +1,107 @@
+"""Circuit 4 (state transition) at CI scale: reduced batch (N=2), full
+64-level tree, every native sub-gadget on — config inclusion, transition
+chain, re-encryption, tally, per-vote hashes, keccak batch-hash binding
+(reference circuits/statetransition/statetransition.go:118-144).  The
+emulated BW6 aggregator-proof sub-gadget is exercised separately/gated."""
+
+import random
+
+import pytest
+
+from davinci_tpu import spec as protocol
+from davinci_tpu.ballotmode import BallotMode
+from davinci_tpu.circuits.statetransition import (
+    StateTransitionParams,
+    StateTransitionWitness,
+    build_state_transition_circuit,
+)
+from davinci_tpu.elgamal import Ballot, generate_key
+from davinci_tpu.elgamal.bjj import BJJ
+from davinci_tpu.state import State, Vote, ballot_index_key
+
+
+def _mk_vote(pid, pub, rng, idx, overwrite_of=None):
+    choice = [0] * protocol.FIELDS_PER_BALLOT
+    choice[idx % 2] = 1
+    k_enc = rng.randrange(1, 2**200)
+    b = Ballot.encrypt(choice, pub, k_enc)
+    k_re = rng.randrange(1, 2**200)
+    reenc, _ = b.reencrypt(pub, k_re)
+    address = rng.randrange(2**160)
+    return (
+        Vote(
+            address=address,
+            ballot_index=ballot_index_key(idx),
+            vote_id=protocol.VOTE_ID_MIN + rng.randrange(2**40),
+            ballot=b,
+            reencrypted_ballot=reenc,
+            weight=1,
+        ),
+        k_re,
+    )
+
+
+@pytest.fixture(scope="module")
+def batch_setup():
+    rng = random.Random(0xC4)
+    pub, priv = generate_key(rng)
+    pid = 424242
+    bm = BallotMode()
+    st = State(pid)
+    st.initialize(1, bm.pack(), (pub.x, pub.y))
+
+    votes, ks = [], []
+    for i in range(2):
+        v, k = _mk_vote(pid, pub, rng, i)
+        votes.append(v)
+        ks.append(k)
+    batch = st.prepare_votes_batch(votes)
+    w = StateTransitionWitness(
+        batch=batch,
+        process_id=pid,
+        ballot_mode_packed=bm.pack(),
+        encryption_key=(pub.x, pub.y),
+        census_origin=1,
+        reenc_k=ks,
+        inputs_hashes=[rng.randrange(1 << 250) for _ in votes],
+    )
+    params = StateTransitionParams(n_votes=2, n_levels=64)
+    return params, w
+
+
+def test_state_transition_satisfiable(batch_setup):
+    params, w = batch_setup
+    cs = build_state_transition_circuit(params, w)
+    assert cs.num_public == 3
+    assert cs.public_values() == [
+        w.batch.root_before,
+        w.batch.root_after,
+        w.batch_hash(params),
+    ]
+    assert cs.check_satisfied(), cs.first_unsatisfied()
+
+
+def test_state_transition_wrong_root_after(batch_setup):
+    params, w = batch_setup
+    cs = build_state_transition_circuit(params, w)
+    # tamper the public root_after
+    cs.values[2] = (cs.values[2] + 1) % cs.p
+    assert not cs.check_satisfied()
+
+
+def test_state_transition_tampered_reencryption(batch_setup):
+    """Claiming a different re-encryption randomness must break."""
+    params, w = batch_setup
+    cs = build_state_transition_circuit(params, w)
+    idx = cs.values.index(w.reenc_k[0], 1)
+    cs.values[idx] = (cs.values[idx] + 1) % cs.p
+    assert not cs.check_satisfied()
+
+
+def test_state_transition_tampered_vote_hash(batch_setup):
+    """Changing an inputs-hash witness breaks the batch-hash binding."""
+    params, w = batch_setup
+    cs = build_state_transition_circuit(params, w)
+    idx = cs.values.index(w.inputs_hashes[1], 1)
+    cs.values[idx] = (cs.values[idx] + 1) % cs.p
+    assert not cs.check_satisfied()

@@ -58,7 +58,7 @@ def toy_c2():
 def test_vote_verifier_satisfiable(toy_c2):
     params, w, cs = toy_c2
     assert cs.num_public == 1
-    assert cs.public_values() == [w.vote_hash(params.native_r)]
+    assert cs.public_values() == [w.vote_hash(params.hash_p)]
     assert cs.check_satisfied()
 
 
