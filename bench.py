@@ -47,9 +47,22 @@ def main():
         rng.integers(0, NBUCKETS, size=(n, W), dtype=np.int32)
     )
 
-    # warmup/compile
+    # warmup/compile + CORRECTNESS: the tiled layout admits a cheap host
+    # oracle (64 distinct points; per-point scalar sums), so the number
+    # reported below is that of a verified kernel
     out = msm(dc, (xs, ys, zs), S)
     jax.block_until_ready(out)
+    got = dc.decode_points(tuple(a[None] for a in out))[0]
+    sums = np.zeros(64, dtype=object)
+    Snp = np.asarray(S, dtype=np.int64)
+    for j in range(W):
+        col = Snp[:, j].astype(object) << (WINDOW_BITS * j)
+        for b in range(64):
+            sums[b] += col[b::64].sum()
+    want = spec.infinity()
+    for b in range(64):
+        want = want.add(base_pts[b].mul(int(sums[b]) % spec.r))
+    assert got == want, "MSM result does not match host oracle"
 
     t0 = time.time()
     iters = 3

@@ -37,10 +37,18 @@ class ApiError(Exception):
 class API:
     """Route table + handlers; transport-agnostic."""
 
-    def __init__(self, sequencer: Sequencer, census_db: CensusDB, jobs_manager=None):
+    def __init__(
+        self, sequencer: Sequencer, census_db: CensusDB, jobs_manager=None,
+        ballot_verifier=None,
+    ):
+        """ballot_verifier: optional (g16, vk) pair for circuit 1 — when
+        set, every incoming vote's ballot proof is natively verified at
+        intake (one pairing check per vote; reference
+        api/ballotproof_verifier.go:13-58)."""
         self.seq = sequencer
         self.census = census_db
         self.jobs = jobs_manager
+        self.ballot_verifier = ballot_verifier
         self.routes = [
             ("GET", re.compile(r"^/workers/([\w-]+)/job$"), self.worker_get_job),
             ("POST", re.compile(r"^/workers/([\w-]+)/job/([\w:-]+)$"), self.worker_submit_job),
@@ -106,8 +114,36 @@ class API:
             raise ApiError(400, "census proof required")
         self._check_census(pid, address, cproof)
 
+        # ballot-proof verification at intake (reference
+        # api/ballotproof_verifier.go:26 — one pairing check per vote)
+        client = {
+            "sig_r": hex(int(sig["r"])),
+            "sig_s": hex(int(sig["s"])),
+        }
+        bp = body.get("ballotProof")
+        if self.ballot_verifier is not None:
+            if bp is None:
+                raise ApiError(400, "ballot proof required")
+            from davinci_tpu.groth16.serialize import proof_from_dict
+
+            g16, vk = self.ballot_verifier
+            try:
+                proof = proof_from_dict(bp["proof"], g16.g1, g16.g2)
+                ih = int(bp["inputsHash"], 16)
+            except (KeyError, ValueError, TypeError) as e:
+                raise ApiError(400, f"malformed ballot proof: {e}")
+            if not g16.verify(vk, proof, [ih]):
+                raise ApiError(401, "ballot proof invalid")
+            client["inputs_hash"] = hex(ih)
+            client["ballot_proof"] = bp["proof"]
+        elif bp is not None:
+            client["inputs_hash"] = bp.get("inputsHash", "0x0")
+            client["ballot_proof"] = bp.get("proof")
+
         ballot = ballot_from_wire(ballot_coords)
-        self.seq.submit_ballot(pid, address, ballot, vote_id, weight)
+        self.seq.submit_ballot(
+            pid, address, ballot, vote_id, weight, client=client
+        )
         return {"status": "pending", "voteID": vote_id}
 
     def _check_census(self, pid: int, address: int, cproof: dict):

@@ -44,6 +44,16 @@ VOTE_HASH_BITS = 252  # truncation: the hash must embed in every chain field
 ETH_PREFIX = b"\x19Ethereum Signed Message:\n32"
 
 
+def witness_vote_hash(params, w) -> int:
+    """The public vote hash under the params' hash mode."""
+    if params.hash_native:
+        return poseidon_hash(
+            [w.process_id, w.address, w.vote_id, w.inputs_hash],
+            p=params.native_r,
+        ) & ((1 << VOTE_HASH_BITS) - 1)
+    return w.vote_hash(params.hash_p)
+
+
 @dataclass
 class VoteVerifierWitness:
     process_id: int
@@ -82,6 +92,9 @@ class VoteVerifierParams:
     # production keeps both on.
     include_inner_proof: bool = True
     include_signature: bool = True
+    # lite tier also hashes natively (production: emulated BN254 Poseidon
+    # so circuit 4 recomputes the per-vote hash natively)
+    hash_native: bool = False
 
     def circuit_id(self) -> str:
         lite = ""
@@ -89,6 +102,8 @@ class VoteVerifierParams:
             lite += "-noinner"
         if not self.include_signature:
             lite += "-nosig"
+        if self.hash_native:
+            lite += "-nathash"
         return (
             f"voteverifier-{self.inner_ctx.name}-{self.sig_spec.name}{lite}-v1"
         )
@@ -100,7 +115,7 @@ def build_vote_verifier_circuit(
     cs = ConstraintSystem(params.native_r)
 
     # -- public ------------------------------------------------------------
-    vote_hash_pub = cs.pub_input(w.vote_hash(params.hash_p))
+    vote_hash_pub = cs.pub_input(witness_vote_hash(params, w))
 
     # -- private witness ---------------------------------------------------
     pid = cs.priv_input(w.process_id)
@@ -150,6 +165,16 @@ def build_vote_verifier_circuit(
             cs.assert_eq(acc, addr)
 
     # -- 4. public hash binding ---------------------------------------------
+    if params.hash_native:
+        with cs.scope("vote-hash-native"):
+            ih_native = cs.from_bits(ih_bits)
+            h = cs.poseidon([pid, addr, vote_id, ih_native])
+            from davinci_tpu.circuits import gadgets as G
+
+            h_bits = G.to_bits_canonical(cs, h, params.native_r.bit_length())
+            cs.assert_eq(cs.from_bits(h_bits[:VOTE_HASH_BITS]), vote_hash_pub)
+        return cs
+
     # Poseidon over the BN254 hash field, emulated here (one per vote);
     # the state-transition circuit recomputes the same hash natively.
     with cs.scope("vote-hash"):

@@ -151,6 +151,7 @@ class Sequencer:
         provers=None,
         batch_time_window: float = 300.0,
         max_dl_bound: int = 10**12,
+        votes_per_batch: int = VOTES_PER_BATCH,
     ):
         self.storage = storage
         self.chain = chain
@@ -158,6 +159,7 @@ class Sequencer:
         self.provers = provers or DevStubProvers()
         self.batch_time_window = batch_time_window
         self.max_dl_bound = max_dl_bound
+        self.votes_per_batch = votes_per_batch
         self.states: dict[int, State] = {}
         self.voter_indices: dict[tuple, int] = {}  # (pid, address) -> index
         self.first_ballot_time: dict[int, float] = {}
@@ -178,10 +180,13 @@ class Sequencer:
 
     @_locked
     def submit_ballot(
-        self, pid: int, address: int, ballot: Ballot, vote_id: int, weight: int = 1
+        self, pid: int, address: int, ballot: Ballot, vote_id: int,
+        weight: int = 1, client: dict | None = None,
     ):
         """Queue a pending ballot (API newVote semantics minus census/
-        signature, which the api layer handles)."""
+        signature, which the api layer handles).  `client` carries the
+        client-side proving material for circuit 2 (ballot proof, inputs
+        hash, signature, pubkey) — reference api/vote.go newVote body."""
         self.storage.pending_ballots.push(
             {
                 "pid": pid,
@@ -189,6 +194,7 @@ class Sequencer:
                 "vote_id": vote_id,
                 "weight": weight,
                 "ballot": ballot_to_wire(ballot),
+                "client": client or {},
             }
         )
         self.storage.set_vote_status(pid, vote_id, VoteIDStatus.PENDING)
@@ -220,9 +226,9 @@ class Sequencer:
             time.time() - t0 >= self.batch_time_window
             for t0 in self.first_ballot_time.values()
         )
-        if pending < VOTES_PER_BATCH and not window_expired:
+        if pending < self.votes_per_batch and not window_expired:
             return
-        items = self.storage.verified_ballots.next(VOTES_PER_BATCH)
+        items = self.storage.verified_ballots.next(self.votes_per_batch)
         if not items:
             return
         ballots = [it for _, it in items]
@@ -255,9 +261,16 @@ class Sequencer:
         pub = BJJ(*st.encryption_key())
 
         votes = []
+        reenc_ks = []
+        inputs_hashes = []
         for it in batch["ballots"]:
             b = ballot_from_wire(it["ballot"])
-            reenc, _ = b.reencrypt(pub, rng.randrange(1, 2**250))
+            k_master = rng.randrange(1, 2**250)
+            reenc, _ = b.reencrypt(pub, k_master)
+            reenc_ks.append(k_master)
+            inputs_hashes.append(
+                int(it.get("client", {}).get("inputs_hash", "0x0"), 16)
+            )
             key = (pid, it["address"])
             if key not in self.voter_indices:
                 self.voter_indices[key] = len(
@@ -280,12 +293,27 @@ class Sequencer:
 
         blob_info = pack_batch_blob(pid, result)
 
+        from davinci_tpu.circuits.statetransition import StateTransitionWitness
+
+        info = self.chain.processes.get(pid)
+        st_witness = StateTransitionWitness(
+            batch=result,
+            process_id=pid,
+            ballot_mode_packed=info.ballot_mode if info else 0,
+            encryption_key=st.encryption_key(),
+            census_origin=info.census_origin if info else 0,
+            reenc_k=reenc_ks,
+            inputs_hashes=inputs_hashes,
+            agg_proof=batch["proof"],
+        )
         proof = self.provers.prove_state_transition(
             {
                 "pid": pid,
                 "root_before": result.root_before,
                 "root_after": result.root_after,
                 "agg_proof": batch["proof"],
+                "witness": st_witness,
+                "n_votes": self.votes_per_batch,
             }
         )
         self.storage.transition_batches.push(

@@ -8,6 +8,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from davinci_tpu import fields as F
 from davinci_tpu.circuits.aggregator import (
     AggregatorParams,

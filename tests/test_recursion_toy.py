@@ -9,6 +9,8 @@ vectorized satisfiability); full-size BN254-in-BLS377 is gated."""
 
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from davinci_tpu import fields as F
 from davinci_tpu.circuits.pairing_gadget import Groth16VerifierGadget
 from davinci_tpu.circuits.toycurve import toy_bls12, toy_groth16

@@ -1,0 +1,99 @@
+"""Service daemons: process monitor + census importers + config env
+(reference service/process_monitor.go, census/importer.go,
+cmd/davinci-sequencer/config.go roles)."""
+
+import json
+
+import pytest
+
+from davinci_tpu.census import CensusDB
+from davinci_tpu.config import Config
+from davinci_tpu.elgamal import generate_key
+from davinci_tpu.sequencer.pipeline import InMemoryChain, ProcessInfo, Sequencer
+from davinci_tpu.services import (
+    CallbackImporter,
+    JSONSnapshotImporter,
+    ProcessMonitor,
+)
+from davinci_tpu.spec import state_root
+from davinci_tpu.storage import MemoryKV, Storage
+
+
+def _mk_chain_seq(rng_seed=3):
+    import random
+
+    rng = random.Random(rng_seed)
+    pub, priv = generate_key(rng)
+    chain = InMemoryChain()
+    seq = Sequencer(Storage(MemoryKV()), chain)
+    return chain, seq, pub
+
+
+def test_process_monitor_registers_and_tracks():
+    chain, seq, pub = _mk_chain_seq()
+    mon = ProcessMonitor(chain, seq)
+    mon.tick()
+    assert mon.stats.new_processes == 0
+
+    pid = 9
+    chain.create_process(
+        ProcessInfo(
+            process_id=pid,
+            census_origin=1,
+            ballot_mode=0,
+            encryption_key=(pub.x, pub.y),
+            state_root=state_root(pid, 1, pub.x, pub.y, 0),
+        )
+    )
+    mon.tick()
+    assert mon.stats.new_processes == 1
+    assert pid in seq.states
+
+    chain.end_process(pid)
+    mon.tick()
+    assert mon.stats.ended_processes == 1
+
+    chain.processes[pid].state_root = 12345
+    mon.tick()
+    assert mon.stats.root_updates == 1
+
+
+def test_json_snapshot_importer():
+    db = CensusDB()
+    imp = JSONSnapshotImporter(db)
+    snap = {
+        "participants": [
+            {"address": "0xabc123", "weight": 2},
+            {"address": "0xdef456"},
+            {"address": 777, "weight": 5},
+        ]
+    }
+    ref = imp.import_snapshot(json.dumps(snap))
+    root = db.publish(ref.census_id)
+    proof = db.proof_by_root(root, 0xABC123)
+    assert proof["weight"] == 2
+    assert CensusDB.verify_proof(proof)
+
+
+def test_callback_importer_paginates():
+    db = CensusDB()
+    rows = [(1000 + i, 1) for i in range(25)]
+
+    def source(offset, limit):
+        return rows[offset : offset + limit]
+
+    imp = CallbackImporter(db, source, batch_size=10)
+    ref = imp.import_all()
+    assert db.by_id[ref.census_id].tree.size == 25
+
+
+def test_config_env_resolution(monkeypatch):
+    monkeypatch.setenv("DAVINCI_API_PORT", "9999")
+    monkeypatch.setenv("DAVINCI_FORCE_CLEANUP", "true")
+    monkeypatch.setenv("DAVINCI_BATCH_TIME_WINDOW", "12.5")
+    cfg = Config.from_env(worker_name="w7")
+    assert cfg.api_port == 9999
+    assert cfg.force_cleanup is True
+    assert cfg.batch_time_window == 12.5
+    assert cfg.worker_name == "w7"  # explicit override wins
+    assert cfg.votes_per_batch == 60  # default

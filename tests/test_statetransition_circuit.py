@@ -8,6 +8,8 @@ import random
 
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from davinci_tpu import spec as protocol
 from davinci_tpu.ballotmode import BallotMode
 from davinci_tpu.circuits.statetransition import (

@@ -8,6 +8,8 @@ import random
 
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from davinci_tpu import spec as protocol
 from davinci_tpu.circuits.toycurve import toy_bls12, toy_groth16
 from davinci_tpu.circuits.voteverifier import (
