@@ -107,6 +107,11 @@ class API:
         )
         if rec_addr is None or int.from_bytes(rec_addr, "big") != address:
             raise ApiError(401, "signature does not match address")
+        # recovered public key: circuit 2's ECDSA witness material
+        prefixed = eth.keccak256(
+            b"\x19Ethereum Signed Message:\n32" + payload
+        )
+        pub_pt = eth.recover(prefixed, int(sig["r"]), int(sig["s"]), int(sig["rec"]))
 
         # census membership
         cproof = body.get("censusProof")
@@ -120,6 +125,8 @@ class API:
             "sig_r": hex(int(sig["r"])),
             "sig_s": hex(int(sig["s"])),
         }
+        if pub_pt is not None and not pub_pt.infinity:
+            client["pubkey"] = [hex(pub_pt.x.v), hex(pub_pt.y.v)]
         bp = body.get("ballotProof")
         if self.ballot_verifier is not None:
             if bp is None:

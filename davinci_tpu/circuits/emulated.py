@@ -140,13 +140,15 @@ class EmulatedOps:
         K = len(a.limbs) + len(k_limbs) - 1
         cols = [self.cs.constant(0) for _ in range(K)]
         col_ints = [0] * K
+        col_maxes = [0] * K
         for i, al in enumerate(a.limbs):
             for j, kj in enumerate(k_limbs):
                 if kj:
                     cols[i + j] = cols[i + j] + al * kj
                     col_ints[i + j] += a_ints[i] * kj
-        R, R_ints = self._qr_terms(q, r)
-        self._carry_check(cols, col_ints, R, R_ints)
+                    col_maxes[i + j] += a.bound * kj
+        R, R_ints, R_max = self._qr_terms(q, r)
+        self._carry_check(cols, col_ints, R, R_ints, col_maxes, R_max)
         return r
 
     def lincomb(self, terms) -> EmuVar:
@@ -169,6 +171,7 @@ class EmulatedOps:
         )
         cols = [self.cs.constant(0) for _ in range(K)]
         col_ints = [0] * K
+        col_maxes = [0] * K
         for x, k in terms:
             k_limbs = self._split_exact(k)
             x_ints = [l.value for l in x.limbs]
@@ -177,8 +180,9 @@ class EmulatedOps:
                     if kj:
                         cols[i + j] = cols[i + j] + xl * kj
                         col_ints[i + j] += x_ints[i] * kj
-        R, R_ints = self._qr_terms(q, r)
-        self._carry_check(cols, col_ints, R, R_ints)
+                        col_maxes[i + j] += x.bound * kj
+        R, R_ints, R_max = self._qr_terms(q, r)
+        self._carry_check(cols, col_ints, R, R_ints, col_maxes, R_max)
         return r
 
     def sub(self, a: EmuVar, b: EmuVar) -> EmuVar:
@@ -223,12 +227,14 @@ class EmulatedOps:
 
     # -- the carry-chain core ------------------------------------------------
 
-    def _carry_check(self, L, L_ints, R, R_ints):
+    def _carry_check(self, L, L_ints, R, R_ints, L_maxes=None, R_maxes=None):
         """Assert sum_k (L_k - R_k) 2^(wk) == 0 over the integers.
 
-        L/R: lists of LinCombs (or None); L_ints/R_ints: their true integer
-        values.  Signed carries are hint-allocated and range-checked after
-        an offset shift."""
+        L/R: lists of LinCombs; L_ints/R_ints: their true integer values;
+        L_maxes/R_maxes: STATIC upper bounds per column (from tracked limb
+        bounds — never from witness values, so the circuit structure is
+        witness-independent and proving keys are reusable).  Signed carries
+        are hint-allocated and range-checked after an offset shift."""
         cs, w = self.cs, self.w
         K = max(len(L), len(R))
         zero = cs.constant(0)
@@ -236,26 +242,31 @@ class EmulatedOps:
         R = list(R) + [zero] * (K - len(R))
         L_ints = list(L_ints) + [0] * (K - len(L_ints))
         R_ints = list(R_ints) + [0] * (K - len(R_ints))
+        if L_maxes is None:
+            L_maxes = [(1 << (2 * self.w)) * self.n] * K
+        if R_maxes is None:
+            R_maxes = L_maxes
+        L_maxes = list(L_maxes) + [0] * (K - len(L_maxes))
+        R_maxes = list(R_maxes) + [0] * (K - len(R_maxes))
 
         carry = zero
         carry_int = 0
+        carry_abs_max = 0
         for k in range(K):
             d = L[k] + carry - R[k]
             d_int = L_ints[k] + carry_int - R_ints[k]
+            assert abs(d_int) <= L_maxes[k] + R_maxes[k] + carry_abs_max
             if k == K - 1:
                 assert d_int == 0, "emulated identity does not hold (bad hint)"
                 cs.assert_zero(d)
                 break
             assert d_int % (1 << w) == 0, "carry chain misaligned"
             c_int = d_int >> w
-            # |carry| bound: everything at this column fits in col_bits
-            col_bits = max(
-                abs(L_ints[k]).bit_length(),
-                abs(R_ints[k]).bit_length(),
-                abs(c_int).bit_length() + w,
-                w,
-            )
-            cb = col_bits - w + 2  # signed headroom
+            col_max = L_maxes[k] + R_maxes[k] + carry_abs_max
+            # native-field wraparound guard for the shifted range check
+            assert col_max.bit_length() + 3 < cs.p.bit_length()
+            carry_abs_max = (col_max >> w) + 1
+            cb = max(carry_abs_max.bit_length(), 1)
             c = cs.priv_input(c_int % cs.p)
             cs.raw_constrain(c, cs.one, d * pow(2, -w, cs.p))
             # range check the shifted carry: c + 2^cb in [0, 2^(cb+1))
@@ -263,19 +274,21 @@ class EmulatedOps:
             carry, carry_int = c, c_int
 
     def _mul_limb_products(self, a: EmuVar, b: EmuVar):
-        """Column sums of a*b: LinComb products (n^2 constraints) and their
-        integer values."""
+        """Column sums of a*b: LinComb products (n^2 constraints), their
+        integer values, and static column maxima."""
         cs = self.cs
         na, nb = len(a.limbs), len(b.limbs)
         a_ints = [l.value for l in a.limbs]
         b_ints = [l.value for l in b.limbs]
         cols = [cs.constant(0) for _ in range(na + nb - 1)]
         col_ints = [0] * (na + nb - 1)
+        col_maxes = [0] * (na + nb - 1)
         for i in range(na):
             for j in range(nb):
                 cols[i + j] = cols[i + j] + cs.mul(a.limbs[i], b.limbs[j])
                 col_ints[i + j] += a_ints[i] * b_ints[j]
-        return cols, col_ints
+                col_maxes[i + j] += a.bound * b.bound
+        return cols, col_ints, col_maxes
 
     def _qr_terms(self, q: EmuVar, r: EmuVar):
         """Columns of q*p + r (linear in q's limbs: p's limbs are constants)."""
@@ -286,15 +299,18 @@ class EmulatedOps:
         K = max(nq + np_ - 1, len(r.limbs))
         cols = [cs.constant(0) for _ in range(K)]
         col_ints = [0] * K
+        col_maxes = [0] * K
         for i in range(nq):
             for j in range(np_):
                 if p_limbs[j]:
                     cols[i + j] = cols[i + j] + q.limbs[i] * p_limbs[j]
                     col_ints[i + j] += q_ints[i] * p_limbs[j]
+                    col_maxes[i + j] += q.bound * p_limbs[j]
         for k, l in enumerate(r.limbs):
             cols[k] = cols[k] + l
             col_ints[k] += l.value
-        return cols, col_ints
+            col_maxes[k] += r.bound
+        return cols, col_ints, col_maxes
 
     def _split_exact(self, v: int) -> list[int]:
         mask = (1 << self.w) - 1
@@ -328,9 +344,9 @@ class EmulatedOps:
         q_max = self._int_max(a) * self._int_max(b) // self.p
         q = self._alloc_q(q_int, q_max)
         r = self.alloc(r_int)
-        L, L_ints = self._mul_limb_products(a, b)
-        R, R_ints = self._qr_terms(q, r)
-        self._carry_check(L, L_ints, R, R_ints)
+        L, L_ints, L_max = self._mul_limb_products(a, b)
+        R, R_ints, R_max = self._qr_terms(q, r)
+        self._carry_check(L, L_ints, R, R_ints, L_max, R_max)
         return r
 
     def square(self, a: EmuVar) -> EmuVar:
@@ -343,8 +359,11 @@ class EmulatedOps:
         q = self._alloc_q(q_int, max(1, self._int_max(a) // self.p))
         r = self.alloc(r_int)
         a_ints = [l.value for l in a.limbs]
-        R, R_ints = self._qr_terms(q, r)
-        self._carry_check(list(a.limbs), a_ints, R, R_ints)
+        R, R_ints, R_max = self._qr_terms(q, r)
+        self._carry_check(
+            list(a.limbs), a_ints, R, R_ints,
+            [a.bound] * len(a.limbs), R_max,
+        )
         return r
 
     def inv(self, a: EmuVar) -> EmuVar:
@@ -369,8 +388,11 @@ class EmulatedOps:
         q_int = v // self.p
         q = self._alloc_q(q_int, max(1, self._int_max(a) // self.p))
         a_ints = [l.value for l in a.limbs]
-        R, R_ints = self._qr_terms(q, self.zero)
-        self._carry_check(list(a.limbs), a_ints, R, R_ints)
+        R, R_ints, R_max = self._qr_terms(q, self.zero)
+        self._carry_check(
+            list(a.limbs), a_ints, R, R_ints,
+            [a.bound] * len(a.limbs), R_max,
+        )
 
     def assert_eq(self, a: EmuVar, b: EmuVar):
         self.assert_is_zero(self.sub(a, b))

@@ -118,3 +118,54 @@ def combine_partials(partials: dict, c2: BJJ) -> BJJ:
     for i in subset:
         acc = acc.add(partials[i].mul(lagrange_coeff(i, subset)))
     return c2.add(acc.neg())
+
+
+# ---------------------------------------------------------------------------
+# SECIES: scalar encryption for DKG share transport
+# ---------------------------------------------------------------------------
+#
+# Role parity: reference crypto/elgamal/dkg/secies/secies.go:13-148 —
+# participants encrypt their polynomial shares to each recipient's public
+# key so the dealing round can run over an untrusted channel.  Scheme
+# (ECIES-shaped, self-contained primitives): ephemeral ECDH on BabyJubJub,
+# Poseidon-based KDF/stream, Poseidon MAC.
+
+
+@dataclass
+class SECIESCiphertext:
+    ephemeral: tuple   # (x, y) of r*G
+    payload: int       # share + KDF stream (mod ORDER)
+    mac: int
+
+
+def _secies_kdf(shared: BJJ, tag: int) -> int:
+    from davinci_tpu.hash import poseidon_hash
+
+    return poseidon_hash([shared.x, shared.y, tag])
+
+
+def secies_keygen(rng=None) -> tuple:
+    rng = rng or _random
+    priv = rng.randrange(1, ORDER)
+    pub = GENERATOR.mul(priv)
+    return priv, pub
+
+
+def secies_encrypt(recipient_pub: BJJ, share: int, rng=None) -> SECIESCiphertext:
+    rng = rng or _random
+    r = rng.randrange(1, ORDER)
+    R = GENERATOR.mul(r)
+    shared = recipient_pub.mul(r)
+    stream = _secies_kdf(shared, 1) % ORDER
+    payload = (share + stream) % ORDER
+    mac = _secies_kdf(shared, 2 + payload)
+    return SECIESCiphertext((R.x, R.y), payload, mac)
+
+
+def secies_decrypt(priv: int, ct: SECIESCiphertext) -> int:
+    R = BJJ(*ct.ephemeral)
+    shared = R.mul(priv)
+    if _secies_kdf(shared, 2 + ct.payload) != ct.mac:
+        raise ValueError("SECIES: MAC verification failed")
+    stream = _secies_kdf(shared, 1) % ORDER
+    return (ct.payload - stream) % ORDER

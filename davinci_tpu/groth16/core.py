@@ -102,27 +102,42 @@ class Groth16:
         gamma = rng.randrange(1, r)
         delta = rng.randrange(1, r)
 
-        # Lagrange values L_j(tau) = Z(tau) * w^j / (N * (tau - w^j))
+        # Lagrange values L_j(tau) = Z(tau) * w^j / (N * (tau - w^j));
+        # inverses via one batched Montgomery trick (no per-j modexp)
         w = self.fr.root_of_unity(logN)
         z_tau = (pow(tau, N, r) - 1) % r
         ninv = pow(N, -1, r)
-        lag = []
-        wj = 1
+        wjs = [1] * N
+        for j in range(1, N):
+            wjs[j] = wjs[j - 1] * w % r
+        dens = [(tau - wj) % r for wj in wjs]
+        prefix = [1] * (N + 1)
         for j in range(N):
-            lag.append(z_tau * wj % r * pow((tau - wj) % r, -1, r) % r * ninv % r)
-            wj = wj * w % r
-        # u_i(tau), v_i(tau), w_i(tau) from sparse constraint rows
-        u = [0] * m
-        v = [0] * m
-        wv = [0] * m
-        for j, (A, B, Cc) in enumerate(cs.constraints):
-            lj = lag[j]
-            for i, coeff in A.items():
-                u[i] = (u[i] + coeff * lj) % r
-            for i, coeff in B.items():
-                v[i] = (v[i] + coeff * lj) % r
-            for i, coeff in Cc.items():
-                wv[i] = (wv[i] + coeff * lj) % r
+            prefix[j + 1] = prefix[j] * dens[j] % r
+        inv_all = pow(prefix[N], -1, r)
+        inv_dens = [0] * N
+        for j in reversed(range(N)):
+            inv_dens[j] = inv_all * prefix[j] % r
+            inv_all = inv_all * dens[j] % r
+        lag = [z_tau * wjs[j] % r * inv_dens[j] % r * ninv % r for j in range(N)]
+
+        # u_i(tau), v_i(tau), w_i(tau): vectorized sparse accumulation over
+        # the CSR export (numpy object arrays — the constraint-count hot
+        # loop of setup; the reference role is gnark's setup evaluation)
+        import numpy as np
+
+        lag_arr = np.empty(N, object)
+        lag_arr[:] = lag
+        uvw = []
+        for idx, coeff, offs in cs._flat_matrices():
+            acc = np.zeros(m, object)
+            if len(idx):
+                rows = np.repeat(
+                    np.arange(len(offs) - 1), np.diff(offs)
+                )
+                np.add.at(acc, idx, coeff * lag_arr[rows])
+            uvw.append([int(x) % r for x in acc])
+        u, v, wv = uvw
 
         ginv = pow(gamma, -1, r)
         dinv = pow(delta, -1, r)

@@ -146,20 +146,28 @@ def _bucket_accumulate_fused(curve, xs, ys, zs, keys_all):
 
 def _bucket_reduce_fused(curve, buckets):
     """sum_b b*S_b per window over (Wt, NBUCKETS+2, ...) buckets
-    -> (Wt, ...) points."""
+    -> (Wt, ...) points.
+
+    Identity: sum_b b*S_b == sum_{b>=1} suffix(b) with suffix(b) =
+    sum_{k>=b} S_k.  A Hillis-Steele suffix scan (log2(NB) full-width add
+    passes) followed by a log-depth tree sum costs ~2 group ops per bucket
+    — versus ~3x for the previous per-bit double-and-add + tree."""
     Wt = buckets[0].shape[0]
-    bidx = jnp.arange(NBUCKETS + 2, dtype=jnp.int32)[None, :]
-    weights = jnp.where(bidx >= NBUCKETS, 0, bidx)  # sinks weigh 0
+    acc = tuple(a[:, :NBUCKETS] for a in buckets)
+    b_iota = jnp.arange(NBUCKETS, dtype=jnp.int32)
+    ident = curve.identity((Wt, NBUCKETS))
 
-    def dbl_add(bit, carry):
-        acc, cur = carry
-        take = ((weights >> bit) & 1) == 1
-        acc = curve.select(take, curve.add(acc, cur), acc)
-        return acc, curve.double(cur)
+    def suffix(i, a):
+        stride = 1 << i
+        valid = b_iota < (NBUCKETS - stride)
+        shifted = curve.select(
+            valid, tuple(jnp.roll(x, -stride, axis=1) for x in a), ident
+        )
+        return curve.add(a, shifted)
 
-    acc0 = curve.identity((Wt, NBUCKETS + 2))
-    acc, _ = jax.lax.fori_loop(0, WINDOW_BITS, dbl_add, (acc0, buckets))
-    acc = tuple(a[:, :NBUCKETS] for a in acc)
+    acc = jax.lax.fori_loop(0, WINDOW_BITS, suffix, acc)
+    # drop suffix(0) (it would weight bucket 0 once): mask slot 0
+    acc = curve.select(b_iota >= 1, acc, ident)
 
     def tree(i, a):
         s = NBUCKETS >> 1 >> i

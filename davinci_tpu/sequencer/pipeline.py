@@ -293,6 +293,19 @@ class Sequencer:
 
         blob_info = pack_batch_blob(pid, result)
 
+        # EIP-7594 sidecar (version 1: 128 cell proofs) — opt-in, heavy
+        # (reference sequencer/onchain.go:168-173, types/blobs.go:90-162)
+        import os as _os
+
+        if _os.environ.get("DAVINCI_CELL_PROOFS"):
+            from davinci_tpu.blobs.cells import compute_cells_and_proofs
+            from davinci_tpu.blobs.kzg import Blob
+
+            blob_obj = Blob.from_bytes(bytes.fromhex(blob_info["blob_hex"]))
+            with log.info_time("blob.cell_proofs", pid=pid):
+                _, cell_proofs = compute_cells_and_proofs(blob_obj)
+            blob_info["cell_proofs"] = [p.hex() for p in cell_proofs]
+
         from davinci_tpu.circuits.statetransition import StateTransitionWitness
 
         info = self.chain.processes.get(pid)

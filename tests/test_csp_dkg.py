@@ -62,3 +62,31 @@ def test_dkg_bad_share_rejected():
 
     with pytest.raises(ValueError):
         parts[1].receive_share(2, parts[2].shares_out[1] + 1, parts[2].public_coeffs)
+
+
+def test_secies_share_transport():
+    """SECIES share encryption (reference dkg/secies role): roundtrip,
+    wrong-key failure, tamper detection."""
+    import random
+
+    from davinci_tpu.dkg import (
+        secies_decrypt,
+        secies_encrypt,
+        secies_keygen,
+    )
+
+    rng = random.Random(99)
+    priv, pub = secies_keygen(rng)
+    share = rng.randrange(1, 2**250)
+    ct = secies_encrypt(pub, share, rng)
+    assert secies_decrypt(priv, ct) == share
+
+    import pytest as _pytest
+
+    other_priv, _ = secies_keygen(rng)
+    with _pytest.raises(ValueError):
+        secies_decrypt(other_priv, ct)
+
+    ct.payload = (ct.payload + 1) % (1 << 250)
+    with _pytest.raises(ValueError):
+        secies_decrypt(priv, ct)

@@ -118,3 +118,24 @@ def test_emulated_nonresidue_and_canonicity():
     assert cs.check_satisfied()
     v = sum(b.value << i for i, b in enumerate(bits))
     assert v == F.BLS12_381_R - 1
+
+
+def test_structure_is_witness_independent():
+    """Two different witnesses must produce IDENTICAL circuit structure
+    (constraint matrices + range-check widths) — the property that makes
+    proving keys reusable (gnark CCS semantics)."""
+    from davinci_tpu.groth16.serialize import cs_structure_hash
+
+    def build(a_v, b_v):
+        cs = ConstraintSystem(F.BLS12_377_R)
+        E = EmulatedOps(cs, F.BN254_P)
+        a, b = E.alloc(a_v), E.alloc(b_v)
+        r = E.mul(a, b)
+        E.assert_eq(E.mul(r, E.inv(b)), a)
+        E.lincomb([(a, 12345), (b, F.BN254_P - 7)])
+        E.cmul(a, F.BN254_P - 1)
+        return cs
+
+    h1 = cs_structure_hash(build(3, 5))
+    h2 = cs_structure_hash(build(F.BN254_P - 2, 0xDEADBEEFCAFE))
+    assert h1 == h2
