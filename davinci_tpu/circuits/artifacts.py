@@ -107,10 +107,18 @@ class ArtifactStore:
         if meta_p.exists() and pk_p.exists() and vk_p.exists():
             meta = json.loads(meta_p.read_text())
             if meta.get("structure_hash") == shash or not check_hash:
-                with log.info_time("artifacts.load", circuit=circuit_id):
-                    pk = pk_from_bytes(pk_p.read_bytes(), g1spec, g2spec)
-                    vk = vk_from_bytes(vk_p.read_bytes(), g1spec, g2spec)
-                return CircuitRuntime(circuit_id, curve_name, pk, vk, shash, g16)
+                try:
+                    with log.info_time("artifacts.load", circuit=circuit_id):
+                        pk = pk_from_bytes(pk_p.read_bytes(), g1spec, g2spec)
+                        vk = vk_from_bytes(vk_p.read_bytes(), g1spec, g2spec)
+                    return CircuitRuntime(
+                        circuit_id, curve_name, pk, vk, shash, g16
+                    )
+                except Exception as e:  # stale/old-format artifact
+                    log.warnw(
+                        "artifacts.unreadable", circuit=circuit_id,
+                        error=str(e),
+                    )
             log.warnw(
                 "artifacts.stale", circuit=circuit_id,
                 cached=meta.get("structure_hash", "")[:16], current=shash[:16],

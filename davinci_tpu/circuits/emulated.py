@@ -48,9 +48,15 @@ class EmulatedOps:
         emu_p: int,
         limb_bits: int | None = None,
         n_limbs: int | None = None,
+        range_checker=None,
     ):
+        """range_checker: optional circuits.lookup.LookupRangeChecker —
+        routes all value-only range checks through the log-derivative
+        lookup (O(1)/chunk with the commitment extension) instead of bit
+        decomposition (O(bits)).  The caller finalizes the checker."""
         self.cs = cs
         self.p = emu_p
+        self.range_checker = range_checker
         native_bits = cs.p.bit_length()
         emu_bits = emu_p.bit_length()
         if limb_bits is None:
@@ -87,9 +93,15 @@ class EmulatedOps:
         limbs = []
         for x in self._split(v):
             lv = self.cs.priv_input(x)
-            self.cs.to_bits(lv, self.w)
+            self._range_check(lv, self.w)
             limbs.append(lv)
         return EmuVar(limbs, (1 << self.w) - 1)
+
+    def _range_check(self, v, nbits: int):
+        if self.range_checker is not None:
+            self.range_checker.range_check(v, nbits)
+        else:
+            self.cs.to_bits(v, nbits)
 
     def from_limb_vars(self, limbs, bound: int) -> EmuVar:
         return EmuVar(list(limbs), bound)
@@ -270,7 +282,7 @@ class EmulatedOps:
             c = cs.priv_input(c_int % cs.p)
             cs.raw_constrain(c, cs.one, d * pow(2, -w, cs.p))
             # range check the shifted carry: c + 2^cb in [0, 2^(cb+1))
-            cs.to_bits(c + (1 << cb), cb + 1)
+            self._range_check(c + (1 << cb), cb + 1)
             carry, carry_int = c, c_int
 
     def _mul_limb_products(self, a: EmuVar, b: EmuVar):
@@ -327,7 +339,7 @@ class EmulatedOps:
         for i in range(nq):
             x = (q_int >> (self.w * i)) & mask
             lv = self.cs.priv_input(x)
-            self.cs.to_bits(lv, self.w)
+            self._range_check(lv, self.w)
             limbs.append(lv)
         return EmuVar(limbs, (1 << self.w) - 1)
 

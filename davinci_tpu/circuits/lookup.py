@@ -1,0 +1,102 @@
+"""Log-derivative lookup range checks over the Groth16 commitment
+extension — the feature that collapses emulated-arithmetic range-check
+costs from O(bits) to O(1) constraints per chunk (gnark's
+std/rangecheck-with-commitment role; log-derivative argument a la
+Haboeck/LogUp).
+
+Protocol: all checked chunk values v_i and the table multiplicities m_j
+are COMMITTED wires (cs.commit -> Pedersen D in the proof); the verifier
+recomputes the Fiat-Shamir challenge gamma = H(D); the circuit enforces
+
+    sum_i 1/(gamma - v_i)  ==  sum_j m_j / (gamma - j),   j in [0, 2^tb)
+
+which holds iff the multiset {v_i} is contained in the table with the
+claimed multiplicities (Schwartz-Zippel over the random gamma).  Each
+check costs ~2 constraints; the table side is a fixed ~3*2^tb.
+
+Values wider than the table are split into tb-bit chunks (allocated +
+recomposed); a value of nbits % tb != 0 also checks its top chunk shifted
+to full width (v_top * 2^(tb - rem) must also be in the table).
+"""
+
+from __future__ import annotations
+
+from davinci_tpu.groth16.r1cs import ConstraintSystem, LinComb
+
+
+class LookupRangeChecker:
+    """Deferred range checks resolved against a [0, 2^table_bits) table at
+    finalize().  One instance per ConstraintSystem; finalize() must run
+    before proving (it places the commitment)."""
+
+    def __init__(self, cs: ConstraintSystem, table_bits: int = 12):
+        self.cs = cs
+        self.tb = table_bits
+        self._checked: list = []  # single-variable LinCombs
+        self._finalized = False
+
+    # -- public API ----------------------------------------------------------
+
+    def range_check(self, v, nbits: int):
+        """Assert 0 <= v < 2^nbits (deferred).  v: LinComb or int-coercible."""
+        assert not self._finalized, "checker already finalized"
+        cs, tb = self.cs, self.tb
+        v = cs.coerce(v)
+        if nbits == 0:
+            cs.assert_zero(v)
+            return
+        full, rem = divmod(nbits, tb)
+        chunks = []
+        val = v.value
+        for i in range(full + (1 if rem else 0)):
+            c = cs.priv_input((val >> (tb * i)) & ((1 << tb) - 1))
+            chunks.append(c)
+            self._defer(c)
+        if rem:
+            # top chunk must fit rem bits: its shift into full width must
+            # also be a table member
+            shifted = chunks[-1] * (1 << (tb - rem))
+            s_var = cs.priv_input(shifted.value)
+            cs.assert_eq(shifted, s_var)
+            self._defer(s_var)
+        acc = cs.constant(0)
+        for i, c in enumerate(chunks):
+            acc = acc + c * (1 << (tb * i))
+        cs.assert_eq(acc, v)
+
+    def _defer(self, var: LinComb):
+        self._checked.append(var)
+
+    def finalize(self, challenge_value: int = 0, blind_value: int = 0):
+        """Commit the checked values + multiplicities, obtain the challenge
+        wire, and enforce the log-derivative identity.  Returns the
+        challenge LinComb.  Call exactly once, at the end of the build;
+        pass-through args come from Groth16.prove_committed's two-phase
+        builder."""
+        assert not self._finalized
+        self._finalized = True
+        cs, tb = self.cs, self.tb
+        n_table = 1 << tb
+
+        counts = [0] * n_table
+        for v in self._checked:
+            val = v.value
+            assert 0 <= val < n_table, "deferred value out of table range"
+            counts[val] += 1
+        m_vars = [cs.priv_input(c) for c in counts]
+
+        gamma = cs.commit(
+            self._checked + m_vars, challenge_value, blind_value
+        )
+
+        # LHS: sum 1/(gamma - v_i); inv() pins gamma != v_i (negligible)
+        lhs = cs.constant(0)
+        for v in self._checked:
+            lhs = lhs + cs.inv(gamma - v)
+        # RHS: sum m_j / (gamma - j) — denominators are linear in gamma
+        rhs = cs.constant(0)
+        for j in range(n_table):
+            u = cs.inv(gamma - cs.constant(j))
+            rhs = rhs + cs.mul(m_vars[j], u)
+        cs.assert_eq(lhs, rhs)
+        return gamma

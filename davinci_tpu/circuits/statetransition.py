@@ -35,7 +35,7 @@ the identical gadget code.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from davinci_tpu import fields as F
 from davinci_tpu import spec as protocol

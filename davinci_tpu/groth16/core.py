@@ -8,8 +8,11 @@ precision + pairings).
 
 Role parity: gnark's groth16 backend behind the reference's
 prover/prover_cpu.go:20-64 and circuits/artifacts.go:474-571 (Setup /
-ProveAndVerify), minus gnark's Pedersen-commitment extension (our circuits
-use classical bit-decomposition gadgets instead of commitment hints).
+ProveAndVerify), INCLUDING a Pedersen-commitment extension (gnark's
+Groth16-with-commitments role): committed wires live on the gamma basis,
+exposed through a commitment D in the proof with a KEA-style proof of
+knowledge, and a Fiat-Shamir challenge wire bound to H(D) — the enabler
+for log-derivative lookup range checks (circuits/lookup.py).
 """
 
 from __future__ import annotations
@@ -44,6 +47,11 @@ class ProvingKey:
     k_g1: list          # [(beta u + alpha v + w)/delta] G1, private vars
     z_g1: list          # [tau^j Z(tau)/delta] G1, j < N-1
     domain_log: int
+    # commitment extension (gnark Groth16-with-commitments role): gamma
+    # basis for the committed wires + its eta-scaled copy for the PoK
+    k_commit_g1: list = None
+    k_commit_eta_g1: list = None
+    k_priv_indices: list = None  # witness indices matching k_g1
 
 
 @dataclass(eq=False)
@@ -53,6 +61,9 @@ class VerifyingKey:
     gamma_g2: AffinePoint
     delta_g2: AffinePoint
     k_pub_g1: list      # [(beta u + alpha v + w)/gamma] G1, ONE + publics
+    # commitment extension
+    k_challenge_g1: AffinePoint = None  # gamma-basis point of the FS wire
+    eta_g2: AffinePoint = None          # [eta] G2 for the PoK check
 
 
 @dataclass(eq=False)
@@ -60,6 +71,12 @@ class Proof:
     a: AffinePoint
     b: AffinePoint  # G2
     c: AffinePoint
+
+
+@dataclass(eq=False)
+class CommittedProof(Proof):
+    d: AffinePoint = None    # Pedersen commitment to the committed wires
+    pok: AffinePoint = None  # knowledge proof: pok == eta * d
 
 
 class Groth16:
@@ -146,10 +163,27 @@ class Groth16:
             (beta * u[i] + alpha * v[i] + wv[i]) % r * ginv % r
             for i in range(npub)
         ]
+        committed = list(getattr(cs, "committed", []) or [])
+        chal_idx = getattr(cs, "challenge_idx", None)
+        gamma_side = set(committed) | ({chal_idx} if chal_idx is not None else set())
+        k_priv_indices = [
+            i for i in range(npub, m) if i not in gamma_side
+        ]
         k_priv = [
             (beta * u[i] + alpha * v[i] + wv[i]) % r * dinv % r
-            for i in range(npub, m)
+            for i in k_priv_indices
         ]
+        eta = rng.randrange(1, r)
+        k_commit = [
+            (beta * u[i] + alpha * v[i] + wv[i]) % r * ginv % r
+            for i in committed
+        ]
+        k_chal = (
+            (beta * u[chal_idx] + alpha * v[chal_idx] + wv[chal_idx])
+            % r * ginv % r
+            if chal_idx is not None
+            else None
+        )
         # [tau^j * Z(tau)/delta], j in 0..N-2
         zd = z_tau * dinv % r
         z_scalars = []
@@ -172,6 +206,9 @@ class Groth16:
             k_g1=g1m(k_priv),
             z_g1=g1m(z_scalars),
             domain_log=logN,
+            k_commit_g1=g1m(k_commit),
+            k_commit_eta_g1=g1m([x * eta % r for x in k_commit]),
+            k_priv_indices=k_priv_indices,
         )
         vk = VerifyingKey(
             alpha_g1=pk.alpha_g1,
@@ -179,6 +216,10 @@ class Groth16:
             gamma_g2=self.g2.gen.mul(gamma),
             delta_g2=pk.delta_g2,
             k_pub_g1=g1m(k_pub),
+            k_challenge_g1=(
+                self.g1.gen.mul(k_chal) if k_chal is not None else None
+            ),
+            eta_g2=self.g2.gen.mul(eta),
         )
         return pk, vk
 
@@ -246,7 +287,11 @@ class Groth16:
             a_lin = self._msm_host_pts(pk.a_g1, z)
             b1_lin = self._msm_host_pts(pk.b_g1, z)
             npub = 1 + cs.num_public
-            k_lin = self._msm_host_pts(pk.k_g1, z[npub:])
+            if pk.k_priv_indices is not None:
+                k_scalars = [z[i] for i in pk.k_priv_indices]
+            else:
+                k_scalars = z[npub:]
+            k_lin = self._msm_host_pts(pk.k_g1, k_scalars)
             h_lin = self._msm_host_pts(pk.z_g1, h[: N - 1])
 
         # --- assembly (host, tiny) ---------------------------------------
@@ -261,6 +306,73 @@ class Groth16:
             .add(pk.delta_g1.mul((-rr * ss) % r))
         )
         return Proof(a=A, b=B2, c=Cpt)
+
+    def prove_committed(self, pk: ProvingKey, build_fn, rng=None,
+                        r_rand=None, s_rand=None) -> "CommittedProof":
+        """Prove a circuit that uses cs.commit().
+
+        build_fn(challenge, blind) -> solved ConstraintSystem.  Two-phase:
+        (1) build with a fresh blinding value and challenge 0 to learn the
+        committed wire values; compute D and pok over the commitment
+        basis; (2) rebuild with challenge = H(D) and prove.  Both builds
+        share the proving key because circuit structure is witness-
+        independent (tests/test_emulated.py)."""
+        rng = rng or _random.Random()
+        blind = rng.randrange(self.r)
+        cs0 = build_fn(0, blind)
+        committed_vals = [cs0.values[i] for i in cs0.committed]
+        D = self._msm_pts(self.dc, self.g1, pk.k_commit_g1, committed_vals)
+        pok = self._msm_pts(
+            self.dc, self.g1, pk.k_commit_eta_g1, committed_vals
+        )
+        challenge = self.commitment_challenge(D)
+        cs = build_fn(challenge, blind)
+        assert [cs.values[i] for i in cs.committed] == committed_vals, (
+            "committed wires must not depend on the challenge"
+        )
+        base = self.prove(pk, cs, r_rand=r_rand, s_rand=s_rand)
+        return CommittedProof(a=base.a, b=base.b, c=base.c, d=D, pok=pok)
+
+    def commitment_challenge(self, D: AffinePoint) -> int:
+        """H(D) mod r — the Fiat-Shamir challenge the verifier recomputes."""
+        from davinci_tpu.ethereum import keccak256
+
+        nb = (self.g1.fld.p.bit_length() + 7) // 8
+        if D.infinity:
+            data = b"\x00" * (2 * nb)
+        else:
+            data = D.x.v.to_bytes(nb, "big") + D.y.v.to_bytes(nb, "big")
+        return int.from_bytes(keccak256(b"davinci-commit-v1" + data), "big") % self.r
+
+    def verify_committed(
+        self, vk: VerifyingKey, proof: "CommittedProof", public_inputs: list
+    ) -> bool:
+        """Verification with the commitment terms: the challenge public is
+        recomputed from D; the PoK check pins D to the committed basis."""
+        if vk.k_challenge_g1 is None or proof.d is None or proof.pok is None:
+            return False
+        # PoK: e(pok, G2) == e(D, [eta] G2)
+        if not self.ctx.pairing_check(
+            [(proof.pok, self.g2.gen), (proof.d.neg(), vk.eta_g2)]
+        ):
+            return False
+        z_pub = [1] + [x % self.r for x in public_inputs]
+        if len(z_pub) != len(vk.k_pub_g1):
+            return False
+        pi = self.g1.infinity()
+        for pt, s in zip(vk.k_pub_g1, z_pub):
+            if s:
+                pi = pi.add(pt.mul(s))
+        challenge = self.commitment_challenge(proof.d)
+        pi = pi.add(vk.k_challenge_g1.mul(challenge)).add(proof.d)
+        return self.ctx.pairing_check(
+            [
+                (proof.a.neg(), proof.b),
+                (vk.alpha_g1, vk.beta_g2),
+                (pi, vk.gamma_g2),
+                (proof.c, vk.delta_g2),
+            ]
+        )
 
     def _msm_host_pts(self, pts, scalars):
         return self._msm_pts(self.dc, self.g1, pts, scalars)

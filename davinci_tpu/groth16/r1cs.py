@@ -72,6 +72,13 @@ class ConstraintSystem:
         self._scope: list[str] = []
         self._flat = None  # cached CSR export (see _flat_matrices)
         self._flat_n = -1
+        # Groth16 commitment extension (gnark `api.Commit` role): variable
+        # indices whose values are exposed through a Pedersen commitment D
+        # (gamma basis) instead of the private (delta) basis, plus the
+        # Fiat-Shamir challenge wire the verifier recomputes as H(D).
+        self.committed: list[int] = []
+        self.challenge_idx: int | None = None
+        self.challenge_fn = None  # host hint: list[int] values -> int
 
     # -- debug scopes (reference prover/debug role: localize unsat) ----------
 
@@ -116,6 +123,36 @@ class ConstraintSystem:
         if isinstance(x, LinComb):
             return x
         return self.constant(int(x))
+
+    def commit(
+        self, vars: list, challenge_value: int = 0, blind_value: int = 0
+    ) -> LinComb:
+        """Mark single-variable LinCombs as COMMITTED (gamma-basis, exposed
+        through the Pedersen commitment D in the proof) and return the
+        Fiat-Shamir challenge wire — gnark api.Commit role.
+
+        The challenge's true value is H(D), which depends on the proving
+        key, so circuits using commit() are built through a two-phase
+        builder: Groth16.prove_committed calls the circuit builder once
+        with (0, blind) to learn the committed values, computes D and
+        H(D), then rebuilds with the real challenge (structure is
+        witness-independent, so both builds share the proving key).  A
+        blinding wire is appended to the committed set automatically."""
+        assert self.challenge_idx is None, "one commitment per system"
+        idxs = []
+        for v in vars:
+            assert isinstance(v, LinComb) and len(v.terms) == 1, (
+                "committed wires must be plain variables"
+            )
+            ((i, c),) = v.terms.items()
+            assert c == 1 and i != 0, "committed wires must be unscaled vars"
+            idxs.append(i)
+        blind = self.priv_input(blind_value)
+        ((blind_idx, _),) = blind.terms.items()
+        self.committed = idxs + [blind_idx]
+        chal = self.priv_input(challenge_value % self.p)
+        ((self.challenge_idx, _),) = chal.terms.items()
+        return chal
 
     # -- constraints ---------------------------------------------------------
 

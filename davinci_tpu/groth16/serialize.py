@@ -15,7 +15,7 @@ import io
 from davinci_tpu.curves import AffinePoint
 from davinci_tpu.towers import FF
 
-_MAGIC = b"DVTPU1\n"
+_MAGIC = b"DVTPU2\n"
 
 
 def _field_nbytes(spec) -> int:
@@ -90,6 +90,13 @@ def pk_to_bytes(pk, g1spec, g2spec) -> bytes:
     for pts in (pk.a_g1, pk.b_g1, pk.k_g1, pk.z_g1):
         _write_points(buf, pts, g1spec)
     _write_points(buf, pk.b_g2, g2spec)
+    # commitment extension (DVTPU2): gamma/eta bases + k indices
+    _write_points(buf, pk.k_commit_g1 or [], g1spec)
+    _write_points(buf, pk.k_commit_eta_g1 or [], g1spec)
+    idxs = pk.k_priv_indices or []
+    buf.write(len(idxs).to_bytes(8, "big"))
+    for i in idxs:
+        buf.write(int(i).to_bytes(8, "big"))
     return buf.getvalue()
 
 
@@ -112,6 +119,12 @@ def pk_from_bytes(data: bytes, g1spec, g2spec):
     k_g1 = _read_points(buf, g1spec)
     z_g1 = _read_points(buf, g1spec)
     b_g2 = _read_points(buf, g2spec)
+    k_commit_g1 = _read_points(buf, g1spec)
+    k_commit_eta_g1 = _read_points(buf, g1spec)
+    n_idx = int.from_bytes(buf.read(8), "big")
+    k_priv_indices = [
+        int.from_bytes(buf.read(8), "big") for i in range(n_idx)
+    ]
     return ProvingKey(
         alpha_g1=alpha_g1,
         beta_g1=beta_g1,
@@ -124,6 +137,9 @@ def pk_from_bytes(data: bytes, g1spec, g2spec):
         k_g1=k_g1,
         z_g1=z_g1,
         domain_log=domain_log,
+        k_commit_g1=k_commit_g1,
+        k_commit_eta_g1=k_commit_eta_g1,
+        k_priv_indices=k_priv_indices or None,
     )
 
 
@@ -137,6 +153,12 @@ def vk_to_bytes(vk, g1spec, g2spec) -> bytes:
     for pt in (vk.beta_g2, vk.gamma_g2, vk.delta_g2):
         _write_point(buf, pt, nb2, nc2)
     _write_points(buf, vk.k_pub_g1, g1spec)
+    # commitment extension
+    has = vk.k_challenge_g1 is not None
+    buf.write(b"\x01" if has else b"\x00")
+    if has:
+        _write_point(buf, vk.k_challenge_g1, nb1, 1)
+    _write_point(buf, vk.eta_g2, nb2, nc2)
     return buf.getvalue()
 
 
@@ -153,12 +175,17 @@ def vk_from_bytes(data: bytes, g1spec, g2spec):
     gamma_g2 = _read_point(buf, g2spec, nb2, nc2)
     delta_g2 = _read_point(buf, g2spec, nb2, nc2)
     k_pub_g1 = _read_points(buf, g1spec)
+    has = buf.read(1) == b"\x01"
+    k_challenge_g1 = _read_point(buf, g1spec, nb1, 1) if has else None
+    eta_g2 = _read_point(buf, g2spec, nb2, nc2)
     return VerifyingKey(
         alpha_g1=alpha_g1,
         beta_g2=beta_g2,
         gamma_g2=gamma_g2,
         delta_g2=delta_g2,
         k_pub_g1=k_pub_g1,
+        k_challenge_g1=k_challenge_g1,
+        eta_g2=eta_g2,
     )
 
 
@@ -176,11 +203,15 @@ def proof_to_dict(proof) -> dict:
             return None
         return {"x": _coord_json(p.x.v), "y": _coord_json(p.y.v)}
 
-    return {"a": pt(proof.a), "b": pt(proof.b), "c": pt(proof.c)}
+    out = {"a": pt(proof.a), "b": pt(proof.b), "c": pt(proof.c)}
+    if getattr(proof, "d", None) is not None:
+        out["d"] = pt(proof.d)
+        out["pok"] = pt(proof.pok)
+    return out
 
 
 def proof_from_dict(d: dict, g1spec, g2spec):
-    from davinci_tpu.groth16.core import Proof
+    from davinci_tpu.groth16.core import CommittedProof, Proof
 
     def pt(obj, spec):
         if obj is None:
@@ -192,6 +223,11 @@ def proof_from_dict(d: dict, g1spec, g2spec):
             return AffinePoint(spec, fld(xs[0]), fld(ys[0]))
         return AffinePoint(spec, FF(fld, tuple(xs)), FF(fld, tuple(ys)))
 
+    if "d" in d:
+        return CommittedProof(
+            a=pt(d["a"], g1spec), b=pt(d["b"], g2spec), c=pt(d["c"], g1spec),
+            d=pt(d["d"], g1spec), pok=pt(d["pok"], g1spec),
+        )
     return Proof(a=pt(d["a"], g1spec), b=pt(d["b"], g2spec), c=pt(d["c"], g1spec))
 
 

@@ -95,8 +95,6 @@ class ProtocolProvers:
         }
 
     def _vote_witness(self, item: dict) -> VoteVerifierWitness:
-        from davinci_tpu.groth16.core import Proof
-
         wd = item["client"]
         params = self.c2_params
         proof = None

@@ -6,6 +6,8 @@ import random
 
 import pytest
 
+pytestmark = pytest.mark.heavy  # CPU-backend MSMs dominate
+
 from davinci_tpu import fields as F
 from davinci_tpu.blobs.cells import (
     BLOB_CELLS,
@@ -49,20 +51,12 @@ def test_coeffs_roundtrip(blob):
         assert acc == blob.cells[i]
 
 
-def test_cell_proofs_verify(blob):
+def test_cell_proofs_verify_and_reject(blob):
     commitment = blob_to_commitment(blob)
-    ids = [0, 64, 127]
+    ids = [0, 127]
     cells, proofs = compute_cells_and_proofs(blob, ids)
     for cid, cell, proof in zip(ids, cells, proofs):
         assert len(cell) == FIELD_ELEMENTS_PER_CELL
         assert verify_cell_proof(commitment, cid, cell, proof)
-
-
-def test_cell_proof_rejects_tamper(blob):
-    commitment = blob_to_commitment(blob)
-    cells, proofs = compute_cells_and_proofs(blob, [3])
-    bad_cell = list(cells[0])
-    bad_cell[5] = (bad_cell[5] + 1) % F.BLS12_381_R
-    assert not verify_cell_proof(commitment, 3, bad_cell, proofs[0])
-    # wrong cell id
-    assert not verify_cell_proof(commitment, 4, cells[0], proofs[0])
+    # tamper: cell 0's proof against cell 127's data/id must fail
+    assert not verify_cell_proof(commitment, 127, cells[1], proofs[0])

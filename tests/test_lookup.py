@@ -1,0 +1,101 @@
+"""Groth16 commitment extension + log-derivative lookup range checks:
+end-to-end prove/verify with committed wires, PoK and challenge binding,
+tamper rejection, and the emulated-ops integration cost win (gnark
+Groth16-with-commitments + std/rangecheck roles)."""
+
+import random
+
+import pytest
+
+from davinci_tpu import fields as F
+from davinci_tpu.circuits.emulated import EmulatedOps
+from davinci_tpu.circuits.lookup import LookupRangeChecker
+from davinci_tpu.groth16 import ConstraintSystem, Groth16
+
+
+def _build_range_circuit(values, nbits, challenge, blind, table_bits=8):
+    """Public: none meaningful; asserts each value < 2^nbits via lookup."""
+    cs = ConstraintSystem(F.BN254_R)
+    marker = cs.pub_input(7)  # keep one public input for the vk layout
+    rc = LookupRangeChecker(cs, table_bits=table_bits)
+    for v in values:
+        var = cs.priv_input(v)
+        rc.range_check(var, nbits)
+    rc.finalize(challenge, blind)
+    cs.assert_eq(marker, cs.constant(7))
+    return cs
+
+
+def test_lookup_identity_satisfied_with_real_challenge():
+    """The log-derivative identity holds exactly when the challenge wire
+    carries the real H(D) (any fixed nonzero stand-in works for a pure
+    satisfiability check since the hints track the wire)."""
+    vals = [0, 1, 255, 77, 128, 200]
+    cs = _build_range_circuit(vals, 8, challenge=123456789, blind=42)
+    assert cs.check_satisfied(), cs.first_unsatisfied()
+
+
+def test_lookup_rejects_out_of_range():
+    # value above the claimed width: recomposition is unsatisfiable
+    cs = _build_range_circuit([256], 8, challenge=0xFEED5EED, blind=0)
+    assert not cs.check_satisfied()
+    # sub-chunk width (6 bits in an 8-bit table): the shifted-top-chunk
+    # trick pushes the honest-build hint out of the table
+    cs2 = _build_range_circuit([5], 6, challenge=0x1CEB00DA, blind=0, table_bits=8)
+    assert cs2.check_satisfied()
+    with pytest.raises(AssertionError):
+        _build_range_circuit([63 + (1 << 6)], 6, challenge=0x1CEB00DA,
+                             blind=0, table_bits=8)
+
+
+def test_committed_groth16_end_to_end():
+    g16 = Groth16("bn254")
+    vals = [3, 200, 255, 0]
+
+    def build(challenge, blind):
+        return _build_range_circuit(vals, 8, challenge, blind)
+
+    pk, vk = g16.setup(build(0, 0))
+    rng = random.Random(11)
+    proof = g16.prove_committed(pk, build, rng=rng, r_rand=5, s_rand=9)
+    assert g16.verify_committed(vk, proof, [7])
+    assert not g16.verify_committed(vk, proof, [8])
+
+    # tamper D: the challenge no longer matches -> reject
+    from davinci_tpu.groth16.core import CommittedProof
+
+    bad = CommittedProof(
+        a=proof.a, b=proof.b, c=proof.c, d=proof.d.mul(2), pok=proof.pok.mul(2)
+    )
+    assert not g16.verify_committed(vk, bad, [7])
+    # tamper pok alone: PoK check must fail
+    bad2 = CommittedProof(
+        a=proof.a, b=proof.b, c=proof.c, d=proof.d, pok=proof.pok.mul(3)
+    )
+    assert not g16.verify_committed(vk, bad2, [7])
+
+
+def test_emulated_with_lookup_checker_cost():
+    """EmulatedOps routed through the lookup checker: correctness + the
+    constraint-count win vs bit decomposition."""
+    def build(use_lookup):
+        cs = ConstraintSystem(F.BLS12_377_R)
+        rc = LookupRangeChecker(cs, table_bits=12) if use_lookup else None
+        E = EmulatedOps(cs, F.BN254_P, range_checker=rc)
+        a = E.alloc(123456789)
+        b = E.alloc(987654321)
+        acc = a
+        for _ in range(30):
+            acc = E.mul(acc, b)
+        assert E.value(acc) == 123456789 * pow(987654321, 30, F.BN254_P) % F.BN254_P
+        if rc is not None:
+            rc.finalize(0x1CEB00DA77, 3)
+        return cs
+
+    n_bits_version = len(build(False).constraints)
+    cs_lookup = build(True)
+    n_lookup = len(cs_lookup.constraints)
+    assert cs_lookup.check_satisfied(), cs_lookup.first_unsatisfied()
+    # the fixed 2^12-entry table amortizes: at ~30 muls the lookup tier
+    # must be clearly cheaper than bit decomposition
+    assert n_lookup < 0.7 * n_bits_version, (n_lookup, n_bits_version)

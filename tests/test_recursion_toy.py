@@ -50,3 +50,27 @@ def test_emulated_groth16_verify_rejects_bad_public(toy_inner):
     pv = gadget.alloc_proof(proof)
     with pytest.raises(AssertionError):
         gadget.assert_valid(pv, [yb])
+
+
+def test_emulated_verify_with_lookup_range_checks(toy_inner):
+    """The same in-circuit verification with the log-derivative lookup
+    range-check tier (Groth16 commitment extension): the constraint count
+    collapses vs the bit-decomposition tier — the path to gnark-parity
+    emulated circuits (BENCH_NOTES.md)."""
+    from davinci_tpu.circuits.emulated import EmulatedOps
+    from davinci_tpu.circuits.lookup import LookupRangeChecker
+
+    t, vk, proof, y_v = toy_inner
+    cs = ConstraintSystem(F.BLS12_377_R)
+    rc = LookupRangeChecker(cs, table_bits=12)
+    base = EmulatedOps(cs, t["ctx"].p, range_checker=rc)
+    gadget = Groth16VerifierGadget(cs, t["ctx"], vk, base_ops=base)
+    yb = gadget.scalar_bits_from_native(cs.priv_input(y_v))
+    pv = gadget.alloc_proof(proof)
+    gadget.assert_valid(pv, [yb])
+    rc.finalize(0x1CEB00DA12345, 7)
+    n = len(cs.constraints)
+    assert cs.check_satisfied(), cs.first_unsatisfied()
+    # bit tier measures ~3.5M for this statement; lookup tier must be
+    # at least 4x smaller
+    assert n < 900_000, n
