@@ -117,7 +117,7 @@ class API:
         cproof = body.get("censusProof")
         if cproof is None:
             raise ApiError(400, "census proof required")
-        self._check_census(pid, address, cproof)
+        census_proof = self._check_census(pid, address, cproof)
 
         # ballot-proof verification at intake (reference
         # api/ballotproof_verifier.go:26 — one pairing check per vote)
@@ -149,22 +149,34 @@ class API:
 
         ballot = ballot_from_wire(ballot_coords)
         self.seq.submit_ballot(
-            pid, address, ballot, vote_id, weight, client=client
+            pid, address, ballot, vote_id, weight, client=client,
+            census_proof=census_proof,
         )
         return {"status": "pending", "voteID": vote_id}
 
-    def _check_census(self, pid: int, address: int, cproof: dict):
+    def _check_census(self, pid: int, address: int, cproof: dict) -> dict:
+        """Validate and return the normalized census proof (it rides the
+        ballot into circuit 4's census witness)."""
         kind = cproof.get("kind")
+        info = getattr(self.seq, "chain", None)
+        info = info.processes.get(pid) if info is not None else None
+        expected_root = getattr(info, "census_root", 0) if info else 0
         if kind == "merkle":
             proof = dict(cproof["proof"])
+            proof["kind"] = "merkle"
             proof["siblings"] = [int(s) for s in proof["siblings"]]
             proof["root"] = int(proof["root"])
             proof["leaf"] = int(proof["leaf"])
             proof["address"] = int(proof["address"])
             proof["weight"] = int(proof["weight"])
+            proof["index"] = int(proof.get("index", 0))
+            proof["size"] = int(proof.get("size", 0))
             proof["path_bits"] = [int(b) for b in proof["path_bits"]]
             if proof["address"] != address or not CensusDB.verify_proof(proof):
                 raise ApiError(401, "census proof invalid")
+            if expected_root and proof["root"] != expected_root:
+                raise ApiError(401, "census root mismatch")
+            return proof
         elif kind == "csp":
             from davinci_tpu.csp import EdDSASignature
 
@@ -181,6 +193,22 @@ class API:
             )
             if p["address"] != address or not BabyJubJubEdDSA.verify_proof(p):
                 raise ApiError(401, "csp proof invalid")
+            if expected_root and p["root"] != expected_root:
+                raise ApiError(401, "census root mismatch")
+            # JSON-safe form (the ballot queues serialize items as JSON)
+            sig = p["signature"]
+            return {
+                "kind": "csp",
+                "root": p["root"],
+                "address": p["address"],
+                "process_id": p["process_id"],
+                "weight": p["weight"],
+                "voter_index": p["voter_index"],
+                "public_key": list(p["public_key"]),
+                "signature": {
+                    "r8x": sig.r8[0], "r8y": sig.r8[1], "s": sig.s,
+                },
+            }
         else:
             raise ApiError(400, f"unknown census proof kind {kind}")
 

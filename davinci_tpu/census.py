@@ -120,6 +120,38 @@ class LeanIMT:
             i //= 2
         return self.levels[0][index], index, siblings, path_bits
 
+    def prove_circuit(self, index: int, max_depth: int):
+        """Circuit-witness proof: per TREE level (not compressed), returns
+        (leaf, siblings, actives, index_bits) each padded to `max_depth`.
+
+        The compressed `prove()` format is ambiguous in-circuit (two leaves
+        at different depths can share the same active-bit string), so the
+        gadget consumes per-level alignment: `actives[l]` says whether level
+        l consumed a sibling, and promoted (single-child) levels carry a
+        forced-0 index bit — making `index = sum bits[l] 2^l` exact."""
+        assert 0 <= index < self.size
+        assert self.depth <= max_depth
+        siblings, actives, bits = [], [], []
+        i = index
+        for lvl in range(self.depth):
+            cur = self.levels[lvl]
+            sib_i = i ^ 1
+            if sib_i < len(cur):
+                siblings.append(cur[sib_i])
+                actives.append(1)
+            else:
+                siblings.append(0)
+                actives.append(0)
+            bits.append(i & 1)
+            i //= 2
+        pad = max_depth - len(bits)
+        return (
+            self.levels[0][index],
+            siblings + [0] * pad,
+            actives + [0] * pad,
+            bits + [0] * pad,
+        )
+
     @staticmethod
     def verify(root: int, leaf: int, siblings: list, path_bits: list) -> bool:
         h = leaf
@@ -179,11 +211,13 @@ class CensusDB:
         leaf, index, siblings, bits = ref.tree.prove(idx)
         _, weight = unpack_census_leaf(leaf)
         return {
+            "kind": "merkle",
             "root": root,
             "address": address,
             "weight": weight,
             "leaf": leaf,
             "index": index,
+            "size": ref.tree.size,
             "siblings": siblings,
             "path_bits": bits,
         }
@@ -195,3 +229,39 @@ class CensusDB:
         return LeanIMT.verify(
             proof["root"], proof["leaf"], proof["siblings"], proof["path_bits"]
         )
+
+
+def circuit_proof_from_compressed(proof: dict, max_depth: int) -> dict:
+    """Spread a compressed LeanIMT proof (siblings at active levels only,
+    from `prove`/`proof_by_root` + the tree `size`) onto per-tree-level
+    (siblings, actives, index_bits) circuit-witness form — the shape
+    `circuits/census_gadget.leanimt_verify` consumes.
+
+    A wire proof can carry `size` because the active-level pattern for a
+    given (index, size) is deterministic: level l consumes a sibling iff
+    (index>>l)^1 < ceil(size / 2^l)."""
+    index, size = proof["index"], proof["size"]
+    depth = 0 if size <= 1 else (size - 1).bit_length()
+    assert depth <= max_depth, (depth, max_depth)
+    sibs, acts, bits = [], [], []
+    comp = list(proof["siblings"])
+    i, n = index, size
+    for _ in range(depth):
+        if (i ^ 1) < n:
+            sibs.append(comp.pop(0))
+            acts.append(1)
+        else:
+            sibs.append(0)
+            acts.append(0)
+        bits.append(i & 1)
+        i //= 2
+        n = (n + 1) // 2
+    assert not comp, "sibling count mismatch vs (index, size)"
+    pad = max_depth - depth
+    return {
+        "kind": "merkle",
+        "siblings": sibs + [0] * pad,
+        "actives": acts + [0] * pad,
+        "index_bits": bits + [0] * pad,
+        "index": index,
+    }

@@ -20,15 +20,19 @@ from davinci_tpu.circuits.keccak_gadget import keccak256_bits
 class ECDSAGadget:
     """Verify (r, s) over msg-hash bits with a witness public key."""
 
-    def __init__(self, cs, curve_spec, aux_seed: str = "davinci-ecdsa-aux"):
+    def __init__(
+        self, cs, curve_spec, aux_seed: str = "davinci-ecdsa-aux",
+        range_checker=None,
+    ):
         """curve_spec: host CurveSpec with prime-order subgroup (cofactor-1
-        usage: secp256k1, or the toy curve's G1)."""
+        usage: secp256k1, or the toy curve's G1).  range_checker: optional
+        lookup checker for the O(1)-per-chunk range-check tier."""
         self.cs = cs
         self.spec = curve_spec
         self.p = curve_spec.fld.p
         self.n = curve_spec.r
-        self.Ep = EmulatedOps(cs, self.p)  # coordinate field
-        self.En = EmulatedOps(cs, self.n)  # scalar field
+        self.Ep = EmulatedOps(cs, self.p, range_checker=range_checker)
+        self.En = EmulatedOps(cs, self.n, range_checker=range_checker)
         self.curve = WeierstrassGadget(
             self.Ep, self.Ep.constant(curve_spec.b_ff.v)
         )

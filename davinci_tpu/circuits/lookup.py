@@ -89,14 +89,24 @@ class LookupRangeChecker:
             self._checked + m_vars, challenge_value, blind_value
         )
 
+        # Accumulate the two sums with ONE dict pass: LinComb.__add__ copies
+        # its dict, so a rolling `acc = acc + term` over ~1e5 inverses is
+        # quadratic in builder time (the keccak wide-XOR pathology).
+        def fast_sum(lincombs):
+            t: dict = {}
+            for lc in lincombs:
+                for k, v in lc.terms.items():
+                    t[k] = (t.get(k, 0) + v) % cs.p
+            return LinComb(cs, {k: v for k, v in t.items() if v})
+
         # LHS: sum 1/(gamma - v_i); inv() pins gamma != v_i (negligible)
-        lhs = cs.constant(0)
-        for v in self._checked:
-            lhs = lhs + cs.inv(gamma - v)
+        lhs = fast_sum([cs.inv(gamma - v) for v in self._checked])
         # RHS: sum m_j / (gamma - j) — denominators are linear in gamma
-        rhs = cs.constant(0)
-        for j in range(n_table):
-            u = cs.inv(gamma - cs.constant(j))
-            rhs = rhs + cs.mul(m_vars[j], u)
+        rhs = fast_sum(
+            [
+                cs.mul(m_vars[j], cs.inv(gamma - cs.constant(j)))
+                for j in range(n_table)
+            ]
+        )
         cs.assert_eq(lhs, rhs)
         return gamma

@@ -59,10 +59,13 @@ class StateTransitionParams:
     native_r: int = F.BN254_R
     verify_aggregator: bool = False   # emulated BW6 pairing (gated: heavy)
     agg_vk: object = None             # aggregator VerifyingKey when enabled
+    include_census: bool = True       # census eligibility sub-circuit
+    census_levels: int = 20           # max LeanIMT depth (2^20 voters)
 
     def circuit_id(self) -> str:
+        cen = f"-c{self.census_levels}" if self.include_census else "-nocen"
         return (
-            f"statetransition-{self.n_votes}v-{self.n_levels}l"
+            f"statetransition-{self.n_votes}v-{self.n_levels}l{cen}"
             f"{'-aggv' if self.verify_aggregator else ''}-v1"
         )
 
@@ -77,6 +80,14 @@ class StateTransitionWitness:
     reenc_k: list                 # per-vote re-encryption master randomness
     inputs_hashes: list           # per-vote circuit-1 ballot inputs hash
     agg_proof: object = None      # BW6 aggregator proof (when verifying)
+    census_root: int = 0          # LeanIMT root / CSP root (public)
+    census_proofs: list = None    # per-vote census proof dicts (see below)
+    # census_proofs[i] for a real vote is either
+    #   {"kind": "merkle", "siblings": [...], "actives": [...],
+    #    "index_bits": [...], "index": int}    (LeanIMT.prove_circuit)
+    # or
+    #   {"kind": "csp", "public": (x, y), "r8": (x, y), "s": int,
+    #    "voter_index": int}                    (csp.generate_proof, TE)
 
     def vote_hash(self, i: int, hash_p: int) -> int:
         v = self.batch.votes[i]
@@ -112,6 +123,9 @@ def build_state_transition_circuit(
     root_before = cs.pub_input(batch.root_before)
     root_after = cs.pub_input(batch.root_after)
     batch_hash_pub = cs.pub_input(w.batch_hash(params))
+    census_root = (
+        cs.pub_input(w.census_root) if params.include_census else None
+    )
 
     # -- process config under root_before -----------------------------------
     pid = cs.priv_input(w.process_id)
@@ -135,6 +149,21 @@ def build_state_transition_circuit(
             cs, params, root_before, batch.process_proofs["census_origin"],
             protocol.STATE_KEY_CENSUS_ORIGIN, [corig],
         )
+
+    # census origin switch (reference VerifyIsValidCensusOrigin + the
+    # census/gnark.go predicates); exactly one family must hold
+    if params.include_census:
+        from davinci_tpu.circuits.census_gadget import (
+            csp_eddsa_verify,
+            is_csp_origin,
+            is_merkle_origin,
+            leanimt_verify,
+            pack_census_leaf_gadget,
+        )
+
+        is_mk = is_merkle_origin(cs, corig)
+        is_csp = is_csp_origin(cs, corig)
+        cs.assert_eq(is_mk + is_csp, cs.one)
 
     # -- transition chain ----------------------------------------------------
     roots = [root_before]
@@ -186,12 +215,14 @@ def build_state_transition_circuit(
                 addr = cs.priv_input(v.address)
                 weight = cs.priv_input(v.weight)
                 vid = cs.priv_input(v.vote_id)
+                bidx = cs.priv_input(v.ballot_index)
                 ih = cs.priv_input(w.inputs_hashes[i])
                 k_master = cs.priv_input(w.reenc_k[i])
             else:
                 zero_coords = [cs.constant(0)] * (params.n_fields * 4)
                 orig = reenc = over = zero_coords
                 addr = weight = vid = ih = cs.constant(0)
+                bidx = cs.constant(0)
                 k_master = cs.constant(0)
 
             if real:
@@ -243,6 +274,11 @@ def build_state_transition_circuit(
             reenc_sum = _acc_ballot(cs, params, reenc_sum, reenc, m)
             over_sum = _acc_ballot(cs, params, over_sum, over, m)
 
+            # ballot write key binding: key == ballot_index (reference
+            # VerifyMerkleTransitionKeys: Ballot[i].VerifyNewKey)
+            bkey = cs.from_bits(b_inputs["key_bits"])
+            cs.assert_eq(cs.mul(m, bkey - bidx), cs.constant(0))
+
             # voteID write binding: key == voteID, fixed leaf value
             vkey = cs.from_bits(v_inputs["key_bits"])
             cs.assert_eq(cs.mul(m, vkey - vid), cs.constant(0))
@@ -259,6 +295,70 @@ def build_state_transition_circuit(
             vh = cs.poseidon([pid, addr, vid, ih])
             vh_bits = G.to_bits_canonical(cs, vh, 254)[:VOTE_HASH_BITS]
             vote_hash_bits_all.append([cs.mul(m, b) for b in vh_bits])
+
+        # 6. census eligibility (VerifyMerkleCensusProofs:495 /
+        # VerifyCSPCensusProofs:517) — both gadgets run uniformly, the
+        # final equalities masked by (real AND matching-origin)
+        if params.include_census:
+            with cs.scope(f"census-{i}"):
+                L = params.census_levels
+                cp = (
+                    w.census_proofs[i]
+                    if real and w.census_proofs is not None
+                    else None
+                )
+                mk = cp if cp and cp["kind"] == "merkle" else None
+                sibs = [
+                    cs.priv_input(x)
+                    for x in (mk["siblings"] if mk else [0] * L)
+                ]
+                acts = [
+                    cs.priv_input(x)
+                    for x in (mk["actives"] if mk else [0] * L)
+                ]
+                bits = [
+                    cs.priv_input(x)
+                    for x in (mk["index_bits"] if mk else [0] * L)
+                ]
+                for b in bits:
+                    cs.assert_bool(b)
+                en_mk = cs.mul(m, is_mk)
+                leaf = pack_census_leaf_gadget(cs, addr, weight)
+                leanimt_verify(cs, census_root, leaf, bits, sibs, acts, en_mk)
+                idx_val = cs.from_bits(bits)
+                cs.assert_eq(
+                    cs.mul(
+                        en_mk,
+                        bidx - (idx_val + cs.constant(protocol.BALLOT_MIN)),
+                    ),
+                    cs.constant(0),
+                )
+
+                cpp = cp if cp and cp["kind"] == "csp" else None
+                pub = (
+                    cs.priv_input(cpp["public"][0] if cpp else 0),
+                    cs.priv_input(cpp["public"][1] if cpp else 1),
+                )
+                r8 = (
+                    cs.priv_input(cpp["r8"][0] if cpp else 0),
+                    cs.priv_input(cpp["r8"][1] if cpp else 1),
+                )
+                s_val = cs.priv_input(cpp["s"] if cpp else 0)
+                vidx = cs.priv_input(cpp["voter_index"] if cpp else 0)
+                vb = G.to_bits_canonical(
+                    cs, vidx, protocol.VOTER_INDEX_MAX.bit_length()
+                )
+                G.assert_bits_lt_const(cs, vb, protocol.VOTER_INDEX_MAX + 1)
+                en_csp = cs.mul(m, is_csp)
+                msg = cs.poseidon([vidx, pid, addr, weight])
+                csp_eddsa_verify(cs, census_root, msg, pub, r8, s_val, en_csp)
+                cs.assert_eq(
+                    cs.mul(
+                        en_csp,
+                        bidx - (vidx + cs.constant(protocol.BALLOT_MIN)),
+                    ),
+                    cs.constant(0),
+                )
 
     # results transition + tally equality
     rt = batch.results_transition

@@ -95,6 +95,9 @@ class VoteVerifierParams:
     # lite tier also hashes natively (production: emulated BN254 Poseidon
     # so circuit 4 recomputes the per-vote hash natively)
     hash_native: bool = False
+    # range-check tier: lookup (Groth16 commitment extension, O(1)/chunk)
+    # vs bit decomposition; lookup circuits prove via prove_committed
+    use_lookup: bool = False
 
     def circuit_id(self) -> str:
         lite = ""
@@ -104,15 +107,25 @@ class VoteVerifierParams:
             lite += "-nosig"
         if self.hash_native:
             lite += "-nathash"
+        if self.use_lookup:
+            lite += "-lookup"
         return (
             f"voteverifier-{self.inner_ctx.name}-{self.sig_spec.name}{lite}-v1"
         )
 
 
 def build_vote_verifier_circuit(
-    params: VoteVerifierParams, w: VoteVerifierWitness
+    params: VoteVerifierParams, w: VoteVerifierWitness,
+    challenge: int = 0, blind: int = 0,
 ) -> ConstraintSystem:
+    """challenge/blind: the two-phase commitment inputs when
+    params.use_lookup (driven by Groth16.prove_committed)."""
     cs = ConstraintSystem(params.native_r)
+    rc = None
+    if params.use_lookup:
+        from davinci_tpu.circuits.lookup import LookupRangeChecker
+
+        rc = LookupRangeChecker(cs, table_bits=12)
 
     # -- public ------------------------------------------------------------
     vote_hash_pub = cs.pub_input(witness_vote_hash(params, w))
@@ -132,8 +145,15 @@ def build_vote_verifier_circuit(
     assert_bits_lt_const(cs, ih_bits, params.inner_ctx.r)
     if params.include_inner_proof:
         with cs.scope("inner-groth16"):
+            from davinci_tpu.circuits.emulated import EmulatedOps as _EOps
+
+            base = (
+                _EOps(cs, params.inner_ctx.p, range_checker=rc)
+                if rc is not None and cs.p != params.inner_ctx.p
+                else None
+            )
             gadget = Groth16VerifierGadget(
-                cs, params.inner_ctx, params.inner_vk
+                cs, params.inner_ctx, params.inner_vk, base_ops=base
             )
             proof_vars = gadget.alloc_proof(w.ballot_proof)
             gadget.assert_valid(proof_vars, [ih_bits])
@@ -141,7 +161,7 @@ def build_vote_verifier_circuit(
     if params.include_signature:
         # -- 2. ECDSA over the EIP-191 voteID message ----------------------
         with cs.scope("ecdsa"):
-            ecdsa = ECDSAGadget(cs, params.sig_spec)
+            ecdsa = ECDSAGadget(cs, params.sig_spec, range_checker=rc)
             pub_pt = ecdsa.alloc_pubkey(w.pubkey)
             # voteID payload: 32-byte big-endian
             vid_bits = cs.to_bits(vote_id, 64)
@@ -173,6 +193,8 @@ def build_vote_verifier_circuit(
 
             h_bits = G.to_bits_canonical(cs, h, params.native_r.bit_length())
             cs.assert_eq(cs.from_bits(h_bits[:VOTE_HASH_BITS]), vote_hash_pub)
+        if rc is not None:
+            rc.finalize(challenge, blind)
         return cs
 
     # Poseidon over the BN254 hash field, emulated here (one per vote);
@@ -181,7 +203,7 @@ def build_vote_verifier_circuit(
         from davinci_tpu.circuits.emulated import EmulatedOps
         from davinci_tpu.circuits.xfield_hash import native_value_to_emu
 
-        Eh = EmulatedOps(cs, params.hash_p)
+        Eh = EmulatedOps(cs, params.hash_p, range_checker=rc)
         pid_e = native_value_to_emu(cs, Eh, pid, params.native_r.bit_length() - 1)
         addr_e = native_value_to_emu(cs, Eh, addr, params.addr_bits)
         vid_e = native_value_to_emu(cs, Eh, vote_id, 64)
@@ -193,6 +215,8 @@ def build_vote_verifier_circuit(
         bound = cs.from_bits(h_bits[:VOTE_HASH_BITS])
         cs.assert_eq(bound, vote_hash_pub)
 
+    if rc is not None:
+        rc.finalize(challenge, blind)
     return cs
 
 

@@ -25,7 +25,9 @@ from davinci_tpu.curves import babyjubjub as te
 from davinci_tpu.hash import poseidon_hash
 
 ORDER = F.BABYJUBJUB_L
-CENSUS_ORIGIN_CSP_EDDSA_BJJ_V1 = 13  # types.CensusOriginCSPEdDSABabyJubJubV1
+# types.CensusOriginCSPEdDSABabyJubJubV1 (reference types/census.go:17-21
+# iota enum — Unknown=0, three MerkleTree origins=1..3, CSP=4)
+from davinci_tpu.spec import CENSUS_ORIGIN_CSP_EDDSA_BJJ as CENSUS_ORIGIN_CSP_EDDSA_BJJ_V1
 
 
 def _prune_scalar(h32: bytes) -> int:
@@ -105,6 +107,24 @@ class BabyJubJubEdDSA:
             proof["weight"],
         )
         return BabyJubJubEdDSA.verify(pub, msg, proof["signature"])
+
+
+def csp_circuit_proof(proof: dict) -> dict:
+    """Wire CSP proof -> the circuit-witness dict shape consumed by
+    circuits/statetransition (census_proofs[i], kind == "csp").  Accepts
+    the signature as an EdDSASignature or its JSON wire dict."""
+    sig = proof["signature"]
+    if isinstance(sig, dict):
+        r8, s = (int(sig["r8x"]), int(sig["r8y"])), int(sig["s"])
+    else:
+        r8, s = tuple(sig.r8), sig.s
+    return {
+        "kind": "csp",
+        "public": tuple(proof["public_key"]),
+        "r8": r8,
+        "s": s,
+        "voter_index": proof["voter_index"],
+    }
 
 
 def csp_message(voter_index: int, process_id: int, address: int, weight: int) -> int:

@@ -57,6 +57,7 @@ class ProcessInfo:
     ballot_mode: int
     encryption_key: tuple
     state_root: int
+    census_root: int = 0
     ended: bool = False
     results: list | None = None
 
@@ -152,6 +153,7 @@ class Sequencer:
         batch_time_window: float = 300.0,
         max_dl_bound: int = 10**12,
         votes_per_batch: int = VOTES_PER_BATCH,
+        census_levels: int = 20,
     ):
         self.storage = storage
         self.chain = chain
@@ -160,6 +162,7 @@ class Sequencer:
         self.batch_time_window = batch_time_window
         self.max_dl_bound = max_dl_bound
         self.votes_per_batch = votes_per_batch
+        self.census_levels = census_levels
         self.states: dict[int, State] = {}
         self.voter_indices: dict[tuple, int] = {}  # (pid, address) -> index
         self.first_ballot_time: dict[int, float] = {}
@@ -182,11 +185,13 @@ class Sequencer:
     def submit_ballot(
         self, pid: int, address: int, ballot: Ballot, vote_id: int,
         weight: int = 1, client: dict | None = None,
+        census_proof: dict | None = None,
     ):
         """Queue a pending ballot (API newVote semantics minus census/
         signature, which the api layer handles).  `client` carries the
         client-side proving material for circuit 2 (ballot proof, inputs
-        hash, signature, pubkey) — reference api/vote.go newVote body."""
+        hash, signature, pubkey); `census_proof` the api-verified census
+        membership proof — reference api/vote.go newVote body."""
         self.storage.pending_ballots.push(
             {
                 "pid": pid,
@@ -195,6 +200,7 @@ class Sequencer:
                 "weight": weight,
                 "ballot": ballot_to_wire(ballot),
                 "client": client or {},
+                "census_proof": census_proof,
             }
         )
         self.storage.set_vote_status(pid, vote_id, VoteIDStatus.PENDING)
@@ -263,6 +269,7 @@ class Sequencer:
         votes = []
         reenc_ks = []
         inputs_hashes = []
+        census_proofs = []
         for it in batch["ballots"]:
             b = ballot_from_wire(it["ballot"])
             k_master = rng.randrange(1, 2**250)
@@ -271,11 +278,37 @@ class Sequencer:
             inputs_hashes.append(
                 int(it.get("client", {}).get("inputs_hash", "0x0"), 16)
             )
+            # voter index: from the census proof when carried (its leaf /
+            # signature position is what circuit 4 binds the ballot key
+            # to), else arrival order (census-less dev flows)
+            cproof = it.get("census_proof")
             key = (pid, it["address"])
-            if key not in self.voter_indices:
+            if cproof is not None:
+                self.voter_indices[key] = (
+                    cproof["index"]
+                    if cproof.get("kind") == "merkle"
+                    else cproof["voter_index"]
+                )
+                if cproof.get("kind") == "merkle":
+                    from davinci_tpu.census import (
+                        circuit_proof_from_compressed,
+                    )
+
+                    census_proofs.append(
+                        circuit_proof_from_compressed(
+                            cproof, self.census_levels
+                        )
+                    )
+                else:
+                    from davinci_tpu.csp import csp_circuit_proof
+
+                    census_proofs.append(csp_circuit_proof(cproof))
+            elif key not in self.voter_indices:
                 self.voter_indices[key] = len(
                     [k for k in self.voter_indices if k[0] == pid]
                 )
+            if cproof is None:
+                census_proofs.append(None)
             votes.append(
                 Vote(
                     address=it["address"],
@@ -318,6 +351,11 @@ class Sequencer:
             reenc_k=reenc_ks,
             inputs_hashes=inputs_hashes,
             agg_proof=batch["proof"],
+            census_root=info.census_root if info else 0,
+            census_proofs=(
+                census_proofs if any(p is not None for p in census_proofs)
+                else None
+            ),
         )
         proof = self.provers.prove_state_transition(
             {
@@ -327,6 +365,7 @@ class Sequencer:
                 "agg_proof": batch["proof"],
                 "witness": st_witness,
                 "n_votes": self.votes_per_batch,
+                "census_levels": self.census_levels,
             }
         )
         self.storage.transition_batches.push(

@@ -204,7 +204,11 @@ class ProtocolProvers:
         if mode == "stub":
             return {"kind": "state_transition", "proven": False}
         w: StateTransitionWitness = batch_summary["witness"]
-        params = StateTransitionParams(n_votes=batch_summary["n_votes"])
+        params = StateTransitionParams(
+            n_votes=batch_summary["n_votes"],
+            include_census=w.census_proofs is not None,
+            census_levels=batch_summary.get("census_levels", 20),
+        )
         cs = build_state_transition_circuit(params, w)
         publics = cs.public_values()
         if mode == "solve":

@@ -27,6 +27,18 @@ STATE_KEY_BALLOT_MODE = 0x02
 STATE_KEY_ENCRYPTION_KEY = 0x03
 STATE_KEY_RESULTS = 0x04
 
+# census origins (reference types/census.go:17-21 iota enum)
+CENSUS_ORIGIN_UNKNOWN = 0
+CENSUS_ORIGIN_MERKLE_STATIC = 1     # MerkleTreeOffchainStaticV1
+CENSUS_ORIGIN_MERKLE_DYNAMIC = 2    # MerkleTreeOffchainDynamicV1
+CENSUS_ORIGIN_MERKLE_ONCHAIN = 3    # MerkleTreeOnchainDynamicV1
+CENSUS_ORIGIN_CSP_EDDSA_BJJ = 4     # CSPEdDSABabyJubJubV1
+MERKLE_CENSUS_ORIGINS = (
+    CENSUS_ORIGIN_MERKLE_STATIC,
+    CENSUS_ORIGIN_MERKLE_DYNAMIC,
+    CENSUS_ORIGIN_MERKLE_ONCHAIN,
+)
+
 # state namespaces
 CONFIG_MIN = 0
 CONFIG_MAX = (1 << 4) - 1

@@ -50,9 +50,23 @@ def function_selector(signature: str) -> bytes:
     return keccak256(signature.encode())[:4]
 
 
+def _fixed_array(typ):
+    """`T[N]` -> ([T]*N as a tuple type) or None.  Fixed-size arrays
+    encode exactly like an N-tuple of the element type."""
+    if not isinstance(typ, str) or not typ.endswith("]") or typ.endswith("[]"):
+        return None
+    base, _, n = typ[:-1].rpartition("[")
+    if not n.isdigit():
+        return None
+    return [base] * int(n)
+
+
 def _is_dynamic(typ) -> bool:
     if isinstance(typ, list):  # tuple
         return any(_is_dynamic(t) for t in typ)
+    fa = _fixed_array(typ)
+    if fa is not None:
+        return _is_dynamic(fa)
     if typ.endswith("[]") or typ in ("bytes", "string"):
         return True
     return False
@@ -78,6 +92,8 @@ def abi_encode(types: list, values: list) -> bytes:
     """Standard head/tail ABI encoding.  A type is a string or a list of
     types (= tuple)."""
     assert len(types) == len(values)
+    # normalize fixed-size arrays into tuples of the element type
+    types = [(_fixed_array(t) or t) for t in types]
     heads, tails = [], []
     # compute head size first
     head_size = 0
@@ -130,3 +146,46 @@ def _enc_tail(typ, val) -> bytes:
 
 def encode_call(signature: str, types: list, values: list) -> bytes:
     return function_selector(signature) + abi_encode(types, values)
+
+
+# ---------------------------------------------------------------------------
+# Groth16 proof tuples for the on-chain verifiers
+# ---------------------------------------------------------------------------
+#
+# Role parity: reference solidity/solidity.go:15-116 — gnark bn254 proofs
+# (plus the commitment extension's D/PoK points) flattened into the ABI
+# tuple layout the Solidity verifiers consume.
+
+
+def groth16_proof_tuple(proof) -> list:
+    """Proof -> [Ax, Ay, Bx0, Bx1, By0, By1, Cx, Cy] (uint256 words).
+    G2 coordinates use the (imaginary, real) word order Ethereum's
+    pairing precompile expects."""
+    ax, ay = int(proof.a.x.v), int(proof.a.y.v)
+    bx = proof.b.x.v
+    by = proof.b.y.v
+    bx0, bx1 = (int(bx[0]), int(bx[1])) if isinstance(bx, tuple) else (int(bx), 0)
+    by0, by1 = (int(by[0]), int(by[1])) if isinstance(by, tuple) else (int(by), 0)
+    cx, cy = int(proof.c.x.v), int(proof.c.y.v)
+    return [ax, ay, bx1, bx0, by1, by0, cx, cy]
+
+
+def groth16_commitment_proof_tuple(proof) -> list:
+    """CommittedProof -> proof words + [Dx, Dy, PoKx, PoKy] (reference
+    Groth16CommitmentProof encoding, solidity/solidity.go:28+)."""
+    base = groth16_proof_tuple(proof)
+    return base + [
+        int(proof.d.x.v), int(proof.d.y.v),
+        int(proof.pok.x.v), int(proof.pok.y.v),
+    ]
+
+
+def encode_proof_calldata(proof, public_inputs: list) -> bytes:
+    """ABI-encode (proof words, publics) for a verifier call."""
+    words = (
+        groth16_commitment_proof_tuple(proof)
+        if getattr(proof, "d", None) is not None
+        else groth16_proof_tuple(proof)
+    )
+    types = [f"uint256[{len(words)}]", f"uint256[{len(public_inputs)}]"]
+    return abi_encode(types, [words, [int(x) for x in public_inputs]])

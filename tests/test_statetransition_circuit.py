@@ -43,6 +43,9 @@ def _mk_vote(pid, pub, rng, idx, overwrite_of=None):
     )
 
 
+CENSUS_LEVELS = 4
+
+
 @pytest.fixture(scope="module")
 def batch_setup():
     rng = random.Random(0xC4)
@@ -57,6 +60,29 @@ def batch_setup():
         v, k = _mk_vote(pid, pub, rng, i)
         votes.append(v)
         ks.append(k)
+
+    # census: LeanIMT over the two voters, origin=1 (merkle static)
+    from davinci_tpu.census import CensusDB
+
+    cdb = CensusDB()
+    cdb.new("c")
+    for v in votes:
+        cdb.insert("c", v.address, v.weight)
+    census_root = cdb.publish("c")
+    tree = cdb.by_id["c"].tree
+    cproofs = []
+    for i, v in enumerate(votes):
+        _, sibs, acts, bits = tree.prove_circuit(i, CENSUS_LEVELS)
+        cproofs.append(
+            {
+                "kind": "merkle",
+                "siblings": sibs,
+                "actives": acts,
+                "index_bits": bits,
+                "index": i,
+            }
+        )
+
     batch = st.prepare_votes_batch(votes)
     w = StateTransitionWitness(
         batch=batch,
@@ -66,19 +92,24 @@ def batch_setup():
         census_origin=1,
         reenc_k=ks,
         inputs_hashes=[rng.randrange(1 << 250) for _ in votes],
+        census_root=census_root,
+        census_proofs=cproofs,
     )
-    params = StateTransitionParams(n_votes=2, n_levels=64)
+    params = StateTransitionParams(
+        n_votes=2, n_levels=64, census_levels=CENSUS_LEVELS
+    )
     return params, w
 
 
 def test_state_transition_satisfiable(batch_setup):
     params, w = batch_setup
     cs = build_state_transition_circuit(params, w)
-    assert cs.num_public == 3
+    assert cs.num_public == 4
     assert cs.public_values() == [
         w.batch.root_before,
         w.batch.root_after,
         w.batch_hash(params),
+        w.census_root,
     ]
     assert cs.check_satisfied(), cs.first_unsatisfied()
 
@@ -107,3 +138,75 @@ def test_state_transition_tampered_vote_hash(batch_setup):
     idx = cs.values.index(w.inputs_hashes[1], 1)
     cs.values[idx] = (cs.values[idx] + 1) % cs.p
     assert not cs.check_satisfied()
+
+
+def test_state_transition_census_non_member(batch_setup):
+    """A voter whose census proof points at another leaf must break
+    (VerifyMerkleCensusProofs role: leaf binds address+weight)."""
+    import copy
+
+    params, w = batch_setup
+    w2 = copy.copy(w)
+    w2.census_proofs = copy.deepcopy(w.census_proofs)
+    # swap vote 0's census path for vote 1's (valid path, wrong leaf)
+    w2.census_proofs[0] = copy.deepcopy(w.census_proofs[1])
+    cs = build_state_transition_circuit(params, w2)
+    assert not cs.check_satisfied()
+
+
+def test_state_transition_census_wrong_root(batch_setup):
+    """Census proofs against a different published root must break."""
+    import copy
+
+    params, w = batch_setup
+    w2 = copy.copy(w)
+    w2.census_root = (w.census_root + 1) % (1 << 250)
+    cs = build_state_transition_circuit(params, w2)
+    assert not cs.check_satisfied()
+
+
+def test_state_transition_csp_census():
+    """CSP-origin process: EdDSA certificate checks replace the Merkle
+    branch (VerifyCSPCensusProofs role)."""
+    from davinci_tpu import spec as protocol_spec
+    from davinci_tpu.csp import BabyJubJubEdDSA, csp_circuit_proof
+
+    rng = random.Random(0xC5)
+    pub, _priv = generate_key(rng)
+    pid = 515151
+    bm = BallotMode()
+    csp = BabyJubJubEdDSA(b"csp-test-seed")
+    origin = protocol_spec.CENSUS_ORIGIN_CSP_EDDSA_BJJ
+    st = State(pid)
+    st.initialize(origin, bm.pack(), (pub.x, pub.y))
+
+    votes, ks, cproofs = [], [], []
+    for i in range(2):
+        v, k = _mk_vote(pid, pub, rng, i)
+        votes.append(v)
+        ks.append(k)
+        wire = csp.generate_proof(pid, v.address, v.weight, voter_index=i)
+        cproofs.append(csp_circuit_proof(wire))
+    batch = st.prepare_votes_batch(votes)
+    w = StateTransitionWitness(
+        batch=batch,
+        process_id=pid,
+        ballot_mode_packed=bm.pack(),
+        encryption_key=(pub.x, pub.y),
+        census_origin=origin,
+        reenc_k=ks,
+        inputs_hashes=[rng.randrange(1 << 250) for _ in votes],
+        census_root=csp.census_root(),
+        census_proofs=cproofs,
+    )
+    params = StateTransitionParams(
+        n_votes=2, n_levels=64, census_levels=CENSUS_LEVELS
+    )
+    cs = build_state_transition_circuit(params, w)
+    assert cs.check_satisfied(), cs.first_unsatisfied()
+
+    # forged signature s must break the group equation
+    cs2 = build_state_transition_circuit(params, w)
+    idx = cs2.values.index(cproofs[0]["s"], 1)
+    cs2.values[idx] = (cs2.values[idx] + 1) % cs2.p
+    assert not cs2.check_satisfied()

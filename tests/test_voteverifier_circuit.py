@@ -93,3 +93,17 @@ def test_vote_verifier_wrong_signer_fails(toy_c2):
     w2.address = w.address  # claim the original address
     cs2 = build_vote_verifier_circuit(params, w2)
     assert not cs2.check_satisfied()
+
+
+def test_vote_verifier_lookup_tier(toy_c2):
+    """The same circuit-2 statement with lookup range checks: identical
+    semantics, collapsed constraint count (the committed-proving tier)."""
+    params, w, cs_bits = toy_c2
+    from dataclasses import replace
+
+    p2 = replace(params, use_lookup=True)
+    cs = build_vote_verifier_circuit(p2, w, challenge=0x1CEB00DA999, blind=5)
+    assert cs.public_values() == [w.vote_hash(p2.hash_p)]
+    assert cs.check_satisfied(), cs.first_unsatisfied()
+    n_bits, n_lk = len(cs_bits.constraints), len(cs.constraints)
+    assert n_lk < 0.55 * n_bits, (n_lk, n_bits)

@@ -153,3 +153,39 @@ def test_pool_failover():
     assert pool.call("eth_chainId", []) == "0x1"
     # bad endpoint now demoted: next call goes straight to good
     assert pool.call("eth_chainId", []) == "0x1"
+
+
+def test_groth16_proof_calldata():
+    """Proof tuple flattening for the on-chain verifiers (reference
+    solidity/solidity.go:15-116): G2 words swap to (imag, real), the
+    commitment extension appends D + PoK."""
+    from types import SimpleNamespace as NS
+
+    from davinci_tpu.web3.encoding import (
+        encode_proof_calldata,
+        groth16_commitment_proof_tuple,
+        groth16_proof_tuple,
+    )
+
+    def pt(x, y):
+        return NS(x=NS(v=x), y=NS(v=y))
+
+    proof = NS(
+        a=pt(1, 2), b=pt((3, 4), (5, 6)), c=pt(7, 8), d=None, pok=None
+    )
+    words = groth16_proof_tuple(proof)
+    assert words == [1, 2, 4, 3, 6, 5, 7, 8]
+
+    cproof = NS(
+        a=pt(1, 2), b=pt((3, 4), (5, 6)), c=pt(7, 8),
+        d=pt(9, 10), pok=pt(11, 12),
+    )
+    cwords = groth16_commitment_proof_tuple(cproof)
+    assert cwords == words + [9, 10, 11, 12]
+
+    data = encode_proof_calldata(cproof, [99, 100])
+    # static tuple: 12 proof words + 2 publics, no offsets
+    assert len(data) == (12 + 2) * 32
+    assert int.from_bytes(data[-32:], "big") == 100
+    data2 = encode_proof_calldata(proof, [99])
+    assert len(data2) == (8 + 1) * 32
