@@ -173,6 +173,75 @@ def compute_cells_and_proofs(blob: Blob, cell_ids=None):
     return [cells[i] for i in ids], proofs
 
 
+def compute_cell_proofs_device(blob: Blob, cell_ids=None) -> list[bytes]:
+    """All 128 cell proofs in ONE batched device pipeline (role: c-kzg-4844
+    ComputeCellsAndKZGProofs, reference types/blobs.go:99-105):
+
+      1. blob -> coefficients: device iNTT on the 4096 PRIMITIVE_ROOT=7
+         domain
+      2. quotients q_i = (p - I_i) / (X^64 - c_i) for every cell at once:
+         the 64-stride division recurrence is a 64-step lax.scan where each
+         step is one batched field mul+add over all (cell, residue) lanes
+      3. quotient evaluations over the 4096 domain: batched device NTT
+      4. [q_i(tau)] G1: one msm_many over the Lagrange SRS — the (msm,
+         window) pairs of all 128 commitments ride the same bucket pipeline
+
+    The evaluations leave the field kernel as raw base-2^12 limbs, which
+    are exactly the MSM's scalar windows — no host round trip anywhere
+    between the blob bytes and the 128 proof points.
+    """
+    import jax.numpy as jnp
+
+    from davinci_tpu.ff import get_device_field
+    from davinci_tpu.msm import msm_many
+    from davinci_tpu.ntt import get_device_ntt
+
+    ids = list(cell_ids) if cell_ids is not None else list(range(CELLS_PER_BLOB))
+    df = get_device_field(F.bls12_381_fr)
+    ntt = get_device_ntt(F.bls12_381_fr)
+    w4096 = _dom4096_standard()[1]
+    CL = FIELD_ELEMENTS_PER_CELL  # 64
+
+    # 1) brp blob cells -> standard order -> device iNTT -> coefficients
+    bits = 12
+    std = [0] * BLOB_CELLS
+    for i in range(BLOB_CELLS):
+        std[_brp(i, bits)] = blob.cells[i]
+    coeffs = ntt.intt_with_root(df.encode(std), w4096)  # (4096, L) mont
+
+    # 2) batched quotient scan: q[64t+j] = p[64(t+1)+j] + c*q[64(t+1)+j]
+    import jax
+
+    p_mat = coeffs.reshape(BLOB_CELLS // CL, CL, df.L)  # (64_t, 64_j, L)
+    c_mont = df.encode([_cell_vanishing_constant(i) for i in ids])  # (M, L)
+    c_b = c_mont[:, None, :]  # (M, 1, L)
+    M = len(ids)
+
+    def step(carry, p_next):  # carry: q_{t+1} (M, 64, L); p_next: (64, L)
+        q_t = df.add(p_next[None], df.mul(c_b, carry))
+        return q_t, q_t
+
+    init = jnp.zeros((M, CL, df.L), jnp.int32)
+    _, qs = jax.lax.scan(step, init, p_mat[1:], reverse=True)
+    # qs[t] = q_t for t = 0..62; q_63 = 0
+    q_full = jnp.concatenate([qs, init[None]], axis=0)  # (64_t, M, 64_j, L)
+    q_full = jnp.moveaxis(q_full, 0, 1).reshape(M, BLOB_CELLS, df.L)
+
+    # 3) evaluate on the 4096 domain, reorder to the brp Lagrange basis
+    evals = ntt.ntt_with_root(q_full, w4096)  # (M, 4096, L) mont
+    # SRS index k pairs with the evaluation at domain position brp(k)
+    # (matching commit_coeffs' host ordering)
+    brp_perm = jnp.asarray([_brp(i, bits) for i in range(BLOB_CELLS)])
+    evals_brp = jnp.take(evals, brp_perm, axis=-2)
+
+    # 4) raw residue limbs ARE the base-2^12 MSM windows (L == W == 22)
+    scalars = df.from_mont(evals_brp)  # (M, 4096, 22) int32
+    dc, pts = kzg._setup_device_points()
+    out = msm_many(dc, pts, scalars)
+    host_pts = dc.decode_points(out)
+    return [compress_g1(pt) for pt in host_pts]
+
+
 def _interp_coset(points: list[int], values: list[int]) -> list[int]:
     """Lagrange interpolation (64 points) -> coefficients (host)."""
     n = len(points)

@@ -75,24 +75,11 @@ def _make_field_ops(p_cols, np_cols, L):
     return mul, add, sub
 
 
-def _point_add_kernel(p_ref, np_ref, b3_ref, x1r, y1r, z1r, x2r, y2r, z2r,
-                      x3r, y3r, z3r):
-    L = x1r.shape[0]
-    p_cols = [p_ref[i, 0] for i in range(L)]
-    np_cols = [np_ref[i, 0] for i in range(L)]
-    b3 = [b3_ref[i, 0] for i in range(L)]
-    mul, add, sub = _make_field_ops(p_cols, np_cols, L)
-
-    X1 = [x1r[i, :] for i in range(L)]
-    Y1 = [y1r[i, :] for i in range(L)]
-    Z1 = [z1r[i, :] for i in range(L)]
-    X2 = [x2r[i, :] for i in range(L)]
-    Y2 = [y2r[i, :] for i in range(L)]
-    Z2 = [z2r[i, :] for i in range(L)]
-
-    # broadcast b3 scalars to lane vectors via multiply identity trick is
-    # unnecessary: mul() handles scalar columns fine (scalar * vector)
-
+def _rcb15(mul, add, sub, b3, P1, P2):
+    """RCB15 Algorithm 7 (a=0, 12M) on per-limb column lists.
+    P1/P2: (X, Y, Z) tuples of limb lists; returns (X3, Y3, Z3)."""
+    X1, Y1, Z1 = P1
+    X2, Y2, Z2 = P2
     t0 = mul(X1, X2)
     t1 = mul(Y1, Y2)
     t2 = mul(Z1, Z2)
@@ -117,6 +104,25 @@ def _point_add_kernel(p_ref, np_ref, b3_ref, x1r, y1r, z1r, x2r, y2r, z2r,
     t0 = mul(t0, t3)
     Z3 = mul(Z3, t4)
     Z3 = add(Z3, t0)
+    return X3, Y3, Z3
+
+
+def _point_add_kernel(p_ref, np_ref, b3_ref, x1r, y1r, z1r, x2r, y2r, z2r,
+                      x3r, y3r, z3r):
+    L = x1r.shape[0]
+    p_cols = [p_ref[i, 0] for i in range(L)]
+    np_cols = [np_ref[i, 0] for i in range(L)]
+    b3 = [b3_ref[i, 0] for i in range(L)]
+    mul, add, sub = _make_field_ops(p_cols, np_cols, L)
+
+    X1 = [x1r[i, :] for i in range(L)]
+    Y1 = [y1r[i, :] for i in range(L)]
+    Z1 = [z1r[i, :] for i in range(L)]
+    X2 = [x2r[i, :] for i in range(L)]
+    Y2 = [y2r[i, :] for i in range(L)]
+    Z2 = [z2r[i, :] for i in range(L)]
+
+    X3, Y3, Z3 = _rcb15(mul, add, sub, b3, (X1, Y1, Z1), (X2, Y2, Z2))
 
     for i in range(L):
         x3r[i, :] = X3[i]

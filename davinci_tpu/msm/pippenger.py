@@ -125,14 +125,26 @@ def _bucket_accumulate_fused(curve, xs, ys, zs, keys_all):
         step, (buckets0, init_acc, init_key), (k2[1:], tuple(a[1:] for a in p2))
     )
 
-    # leftover merge: log-depth segmented suffix-sum along COLS per window
-    keys_l = acc_key  # (Wt, COLS)
-    col_iota = jnp.arange(COLS, dtype=jnp.int32)
-    ident_cols = curve.identity((Wt, COLS))
+    return _merge_leftovers(curve, buckets, acc, acc_key)
+
+
+def _merge_leftovers(curve, buckets, acc, acc_key):
+    """Fold per-lane final segments (runs that reach their lane's last row)
+    into the bucket arrays: log-depth segmented suffix-sum along the lane
+    axis groups same-key lane tails, then one gather+add+scatter merges
+    each group's total into its bucket.
+
+    buckets: (Wt, NBUCKETS+2, ...) x3; acc: (Wt, cols, ...) x3 lane-final
+    accumulators; acc_key: (Wt, cols) lane-final keys (non-decreasing)."""
+    Wt, cols = acc_key.shape
+    w_iota = jnp.arange(Wt, dtype=jnp.int32)[:, None]
+    keys_l = acc_key
+    col_iota = jnp.arange(cols, dtype=jnp.int32)
+    ident_cols = curve.identity((Wt, cols))
 
     def suffix_step(i, s):
         stride = 1 << i
-        valid = col_iota < (COLS - stride)
+        valid = col_iota < (cols - stride)
         pk = jnp.where(valid, jnp.roll(keys_l, -stride, axis=1), -1)
         ps = curve.select(
             valid,
@@ -142,7 +154,7 @@ def _bucket_accumulate_fused(curve, xs, ys, zs, keys_all):
         same = keys_l == pk
         return curve.select(same, curve.add(s, ps), s)
 
-    s = jax.lax.fori_loop(0, COLS.bit_length() - 1, suffix_step, acc)
+    s = jax.lax.fori_loop(0, cols.bit_length() - 1, suffix_step, acc)
 
     start = jnp.concatenate(
         [jnp.ones((Wt, 1), bool), keys_l[:, 1:] != keys_l[:, :-1]], axis=1
@@ -214,6 +226,50 @@ def _horner(curve, sums, W):
 @functools.partial(jax.jit, static_argnums=0)
 def _window_sums_tile(curve, xs, ys, zs, keys_all):
     buckets = _bucket_accumulate_fused(curve, xs, ys, zs, keys_all)
+    return _bucket_reduce_fused(curve, buckets)
+
+
+def _use_scan_kernel(curve) -> bool:
+    """The monolithic Pallas bucket-scan kernel serves prime-field curves
+    on TPU (Fp2/G2 and CPU use the XLA scan composition).
+    DAVINCI_MSM_KERNEL=interpret forces it in interpret mode (tests)."""
+    import os
+
+    mode = os.environ.get("DAVINCI_MSM_KERNEL", "")
+    if mode == "interpret":
+        return curve.ops.coord_ndim == 1
+    if mode == "off":
+        return False
+    return jax.default_backend() == "tpu" and curve.ops.coord_ndim == 1
+
+
+def _window_sums_tile_kernel(curve, xs, ys, zs, keys_all, interpret=False):
+    from davinci_tpu.msm.bucket_kernel import bucket_accumulate_kernel
+
+    if interpret:
+        # eager kernel (tests), jitted merge+reduce
+        buckets, acc, acc_key = bucket_accumulate_kernel(
+            curve, xs, ys, zs, keys_all, COLS, NBUCKETS, True
+        )
+        return _merge_reduce_jit(curve, buckets, acc, acc_key)
+    return _window_sums_tile_kernel_jit(curve, xs, ys, zs, keys_all)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _merge_reduce_jit(curve, buckets, acc, acc_key):
+    return _bucket_reduce_fused(
+        curve, _merge_leftovers(curve, buckets, acc, acc_key)
+    )
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _window_sums_tile_kernel_jit(curve, xs, ys, zs, keys_all):
+    from davinci_tpu.msm.bucket_kernel import bucket_accumulate_kernel
+
+    buckets, acc, acc_key = bucket_accumulate_kernel(
+        curve, xs, ys, zs, keys_all, COLS, NBUCKETS, False
+    )
+    buckets = _merge_leftovers(curve, buckets, acc, acc_key)
     return _bucket_reduce_fused(curve, buckets)
 
 
@@ -295,11 +351,65 @@ def msm(curve, points, scalar_limbs):
     n, W = scalar_limbs.shape
     wt = _window_tile(n, W)
     keys_all = scalar_limbs.T  # (W, n)
+    if _use_scan_kernel(curve):
+        import os
+
+        interp = os.environ.get("DAVINCI_MSM_KERNEL") == "interpret"
+        tile_fn = functools.partial(
+            _window_sums_tile_kernel, interpret=interp
+        )
+    else:
+        tile_fn = _window_sums_tile
     sums = []
     for w0 in range(0, W, wt):
         tile = keys_all[w0 : w0 + wt]
-        sums.append(_window_sums_tile(curve, xs, ys, zs, tile))
+        sums.append(tile_fn(curve, xs, ys, zs, tile))
     sums = tuple(jnp.concatenate(parts, axis=0) for parts in zip(*sums))
+    return _horner_jit(curve, sums, W)
+
+
+def msm_many(curve, points, scalar_limbs):
+    """M independent MSMs over the SAME point set in one batched pipeline.
+
+    scalar_limbs: (M, n, W) raw base-2^12 limbs.  The bucket pipeline
+    already processes all W windows of one MSM as a batched leading axis;
+    (msm, window) pairs simply widen that axis to M*W, so all M
+    accumulations ride the same device passes — the natural shape for
+    EIP-7594 cell proofs (128 quotient commitments over one Lagrange SRS)
+    and batched fixed-base workloads (role: c-kzg-4844
+    ComputeCellsAndKZGProofs / ICICLE batched MSM).
+
+    Returns (X, Y, Z) with a leading (M,) axis.
+    """
+    xs, ys, zs = points
+    M, n0, W = scalar_limbs.shape
+    if not _use_pipeline():
+        outs = [msm(curve, points, scalar_limbs[m]) for m in range(M)]
+        return tuple(
+            jnp.stack([o[c] for o in outs]) for c in range(3)
+        )
+    flat = jnp.swapaxes(scalar_limbs, 1, 2).reshape(M * W, n0).T  # (n, M*W)
+    xs, ys, zs, flat = _pad_inputs(curve, xs, ys, zs, flat)
+    n = flat.shape[0]
+    keys_all = flat.T  # (M*W, n)
+    if _use_scan_kernel(curve):
+        import os
+
+        interp = os.environ.get("DAVINCI_MSM_KERNEL") == "interpret"
+        tile_fn = functools.partial(
+            _window_sums_tile_kernel, interpret=interp
+        )
+    else:
+        tile_fn = _window_sums_tile
+    wt = _window_tile(n, M * W)
+    sums = []
+    for w0 in range(0, M * W, wt):
+        sums.append(tile_fn(curve, xs, ys, zs, keys_all[w0 : w0 + wt]))
+    sums = tuple(jnp.concatenate(parts, axis=0) for parts in zip(*sums))
+    # (M*W, ...) -> (W, M, ...): Horner broadcasts over the M batch axis
+    sums = tuple(
+        jnp.swapaxes(s.reshape((M, W) + s.shape[1:]), 0, 1) for s in sums
+    )
     return _horner_jit(curve, sums, W)
 
 
@@ -355,9 +465,24 @@ def sharded_msm(curve, points, scalar_limbs, mesh, axis_name="shard"):
         acc = tuple(g[0] for g in gathered)
         return jax.lax.fori_loop(1, ndev, fold, acc)
 
+    import os
+
+    kernel = _use_scan_kernel(curve)
+    interp = os.environ.get("DAVINCI_MSM_KERNEL") == "interpret"
+
     def local(xs, ys, zs, sl):
         if pipeline:
-            buckets = _bucket_accumulate_fused(curve, xs, ys, zs, sl.T)
+            if kernel:
+                from davinci_tpu.msm.bucket_kernel import (
+                    bucket_accumulate_kernel,
+                )
+
+                buckets, acc, acc_key = bucket_accumulate_kernel(
+                    curve, xs, ys, zs, sl.T, COLS, NBUCKETS, interp
+                )
+                buckets = _merge_leftovers(curve, buckets, acc, acc_key)
+            else:
+                buckets = _bucket_accumulate_fused(curve, xs, ys, zs, sl.T)
             gathered = jax.lax.all_gather(buckets, axis_name)
             acc = _fold_gathered(gathered)
             sums = _bucket_reduce_fused(curve, acc)

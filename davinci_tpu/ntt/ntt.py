@@ -112,6 +112,29 @@ class DeviceNTT:
         ninv_mont = self.df.encode_scalar(ninv)
         return self._intt_jit(x, rev, wpow, ninv_mont)
 
+    # -- explicit-root transforms -------------------------------------------
+    # Some domains fix their own generator convention (EIP-4844 uses
+    # PRIMITIVE_ROOT=7, not the field's generic 2-adic generator —
+    # blobs/kzg.py _domain); mixing conventions breaks brp-domain
+    # consistency, so these take omega explicitly.
+
+    def ntt_with_root(self, x: jnp.ndarray, w: int) -> jnp.ndarray:
+        n = x.shape[-2]
+        assert pow(w, n, self.spec.p) == 1
+        rev = jnp.asarray(_bitrev_perm(n))
+        wpow = self.power_table(w, n // 2) if n > 1 else self.df.one_mont[None]
+        return self._ntt_jit(x, rev, wpow)
+
+    def intt_with_root(self, x: jnp.ndarray, w: int) -> jnp.ndarray:
+        n = x.shape[-2]
+        winv = pow(w, -1, self.spec.p)
+        ninv = pow(n, -1, self.spec.p)
+        rev = jnp.asarray(_bitrev_perm(n))
+        wpow = (
+            self.power_table(winv, n // 2) if n > 1 else self.df.one_mont[None]
+        )
+        return self._intt_jit(x, rev, wpow, self.df.encode_scalar(ninv))
+
     # -- coset helpers (quotient polynomial) --------------------------------
 
     def coset_ntt(self, coeffs: jnp.ndarray, g: int | None = None):

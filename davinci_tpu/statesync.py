@@ -40,7 +40,7 @@ class StateSync:
     def tick(self):
         # in-order replay per process of any blobs not yet applied
         per_pid: dict[int, list] = {}
-        for pid, blob_hex in self.chain.blobs:
+        for pid, blob_hex, *_ in self.chain.blobs:
             per_pid.setdefault(pid, []).append(blob_hex)
         for pid, blobs in per_pid.items():
             st = self.states.get(pid)

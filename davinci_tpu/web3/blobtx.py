@@ -19,6 +19,13 @@ from davinci_tpu.web3.encoding import rlp_encode
 
 BLOB_TX_TYPE = 3
 
+# EIP-4844 sidecar versions (reference types/blobs.go:90-162): version 0
+# carries one blob proof per blob; version 1 (EIP-7594 / Fusaka) carries
+# 128 cell proofs per blob.
+SIDECAR_VERSION_0 = 0
+SIDECAR_VERSION_1 = 1
+CELL_PROOFS_PER_BLOB = 128
+
 
 @dataclass
 class BlobTx:
@@ -41,6 +48,7 @@ class BlobTx:
     blobs: list = field(default_factory=list)
     commitments: list = field(default_factory=list)
     proofs: list = field(default_factory=list)
+    sidecar_version: int = SIDECAR_VERSION_0
 
     def _payload_fields(self):
         return [
@@ -71,6 +79,41 @@ class BlobTx:
     def tx_hash(self) -> bytes:
         return eth.keccak256(self.encode_signed())
 
+    def validate_sidecar(self) -> None:
+        """Structural sidecar checks mirroring the reference's submission
+        guard (sequencer/onchain.go:162-173): version-matched proof counts."""
+        nb = len(self.blobs)
+        if len(self.commitments) != nb:
+            raise ValueError("sidecar: commitment count != blob count")
+        if self.sidecar_version == SIDECAR_VERSION_0:
+            want = nb
+        elif self.sidecar_version == SIDECAR_VERSION_1:
+            want = nb * CELL_PROOFS_PER_BLOB
+        else:
+            raise ValueError(
+                f"sidecar: unknown version {self.sidecar_version}"
+            )
+        if len(self.proofs) != want:
+            raise ValueError(
+                f"sidecar v{self.sidecar_version}: got {len(self.proofs)} "
+                f"proofs, expected {want}"
+            )
+
+    def encode_network(self) -> bytes:
+        """Network (pooled-transaction) form: the signed payload wrapped with
+        the sidecar — version 1 prepends the version byte per EIP-7594."""
+        self.validate_sidecar()
+        wrapper = [
+            self._payload_fields() + [self.v, self.r, self.s],
+            self.blobs,
+            self.commitments,
+            self.proofs,
+        ]
+        body = rlp_encode(wrapper)
+        if self.sidecar_version == SIDECAR_VERSION_1:
+            return bytes([BLOB_TX_TYPE, SIDECAR_VERSION_1]) + body
+        return bytes([BLOB_TX_TYPE]) + body
+
 
 def build_blob_tx(
     chain_id: int,
@@ -82,9 +125,18 @@ def build_blob_tx(
     max_priority_fee: int = 2 * 10**9,
     max_fee_per_blob_gas: int = 10**9,
     gas: int = 500_000,
+    sidecar_version: int = SIDECAR_VERSION_0,
 ) -> BlobTx:
-    """blobs_with_kzg: list of (blob_bytes, commitment48, proof48)."""
+    """blobs_with_kzg: list of (blob_bytes, commitment48, proofs) where
+    proofs is one 48-byte blob proof (version 0) or the list of 128 cell
+    proofs (version 1, EIP-7594)."""
     hashes = [versioned_hash(c) for _, c, _ in blobs_with_kzg]
+    flat_proofs: list = []
+    for _, _, p in blobs_with_kzg:
+        if isinstance(p, (list, tuple)):
+            flat_proofs.extend(p)
+        else:
+            flat_proofs.append(p)
     return BlobTx(
         chain_id=chain_id,
         nonce=nonce,
@@ -98,7 +150,8 @@ def build_blob_tx(
         blob_versioned_hashes=hashes,
         blobs=[b for b, _, _ in blobs_with_kzg],
         commitments=[c for _, c, _ in blobs_with_kzg],
-        proofs=[p for _, _, p in blobs_with_kzg],
+        proofs=flat_proofs,
+        sidecar_version=sidecar_version,
     )
 
 

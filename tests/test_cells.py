@@ -60,3 +60,17 @@ def test_cell_proofs_verify_and_reject(blob):
         assert verify_cell_proof(commitment, cid, cell, proof)
     # tamper: cell 0's proof against cell 127's data/id must fail
     assert not verify_cell_proof(commitment, 127, cells[1], proofs[0])
+
+
+def test_device_cell_proofs_match_host(blob):
+    """The batched device pipeline (device iNTT -> quotient scan -> NTT ->
+    msm_many) produces byte-identical proofs to the host per-cell path."""
+    from davinci_tpu.blobs.cells import (
+        compute_cell_proof,
+        compute_cell_proofs_device,
+    )
+
+    ids = [3, 64]
+    dev = compute_cell_proofs_device(blob, ids)
+    for cid, proof in zip(ids, dev):
+        assert proof == compute_cell_proof(blob, cid)

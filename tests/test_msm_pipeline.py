@@ -8,6 +8,7 @@ Covers: random scalars, edge scalars (0, 1, r-1), bucket collisions
 bucket-merge path.  Reference role: gnark-crypto MSM correctness tests.
 """
 
+import os
 import random
 
 import jax
@@ -69,6 +70,60 @@ def test_pipeline_msm_all_equal_buckets(small_cols):
     n = 128
     pts = [spec.gen.mul(r.randrange(1, spec.r)) for _ in range(n)]
     scalars = [12345678901234567890] * n
+    _run_case(spec, scalars, pts)
+
+
+def test_gather_bucket_positions():
+    """The scan kernel's gather-based bucket construction derives each
+    bucket's tail-piece position from the sorted keys alone.  Check the
+    position algebra (cumsum ends, mid-lane predicate) against a direct
+    segmented simulation — pure host logic, no kernel needed."""
+    import numpy as np
+
+    r = random.Random(5)
+    cols, rows, nb = 8, 4, 16
+    n = cols * rows
+    keys = sorted(r.randrange(nb) for _ in range(n))
+    k = np.array(keys)
+    counts = np.bincount(k, minlength=nb)
+    ends = np.cumsum(counts)
+    use = (counts > 0) & (ends % rows != 0)
+    # direct simulation: lane c covers stream positions [c*rows,(c+1)*rows)
+    for b in range(nb):
+        if not counts[b]:
+            continue
+        last = ends[b] - 1
+        mid_lane = (last % rows) != rows - 1
+        assert use[b] == mid_lane
+        if use[b]:
+            # the gathered accumulator at (row last%rows, lane last//rows)
+            # covers exactly bucket b's positions within that lane
+            lane = last // rows
+            lane_lo = lane * rows
+            seg = [s for s in range(lane_lo, last + 1) if k[s] == b]
+            assert seg, (b, last)
+            assert k[last] == b
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_TPU_TESTS"),
+    reason="monolithic bucket-scan kernel needs the real TPU (interpret "
+    "mode is impractically slow); bench.py asserts the same oracle "
+    "on every bench run",
+)
+def test_scan_kernel_msm_matches_oracle_tpu():
+    """The production TPU MSM path (Pallas bucket-scan kernel + gather
+    buckets) end-to-end vs the host oracle."""
+    spec = C.bn254_g1
+    r = random.Random(40)
+    n = 8192
+    pts = [spec.gen.mul(r.randrange(1, spec.r)) for _ in range(n)]
+    scalars = [r.randrange(spec.r) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = 1
+    scalars[2] = spec.r - 1
+    for i in range(8, 200):
+        scalars[i] = scalars[8]
     _run_case(spec, scalars, pts)
 
 

@@ -189,3 +189,38 @@ def test_groth16_proof_calldata():
     assert int.from_bytes(data[-32:], "big") == 100
     data2 = encode_proof_calldata(proof, [99])
     assert len(data2) == (8 + 1) * 32
+
+
+def test_blob_tx_sidecar_v1_cell_proofs():
+    """Version-1 (EIP-7594) sidecar: 128 cell proofs per blob, version byte
+    in the network encoding (reference types/blobs.go:90-162)."""
+    from davinci_tpu.web3.blobtx import CELL_PROOFS_PER_BLOB
+
+    priv = 0xB0B
+    blob = b"\x00" * 131072
+    com = b"\x01" * 48
+    cells = [bytes([i % 256]) * 48 for i in range(CELL_PROOFS_PER_BLOB)]
+    tx = build_blob_tx(
+        chain_id=1,
+        nonce=1,
+        to=b"\x22" * 20,
+        data=b"",
+        blobs_with_kzg=[(blob, com, cells)],
+        sidecar_version=1,
+    )
+    sign_blob_tx(tx, priv)
+    assert len(tx.proofs) == CELL_PROOFS_PER_BLOB
+    net = tx.encode_network()
+    assert net[0] == 3 and net[1] == 1  # tx type, sidecar version
+    # wrong proof count fails the structural guard
+    tx.proofs = tx.proofs[:-1]
+    with pytest.raises(ValueError):
+        tx.validate_sidecar()
+    # version 0 with one blob proof is still fine
+    tx0 = build_blob_tx(
+        chain_id=1, nonce=1, to=b"\x22" * 20, data=b"",
+        blobs_with_kzg=[(blob, com, b"\x02" * 48)],
+    )
+    sign_blob_tx(tx0, priv)
+    assert tx0.encode_network()[0] == 3
+    tx0.validate_sidecar()
