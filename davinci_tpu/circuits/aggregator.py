@@ -46,9 +46,23 @@ class AggregatorParams:
     dummy_public: int         # its public vote hash
     n_votes: int = protocol.VOTES_PER_BATCH
     native_r: int = F.BW6_761_R
+    # inner proofs carry the Pedersen commitment extension (the lookup-tier
+    # vote verifier proves via Groth16.prove_committed): verify PoK +
+    # challenge + D per slot (gnark std/recursion with-commitment role)
+    inner_committed: bool = False
+    # inner curve pairing ctx (None = BLS12-377; the toy 2-chain's inner
+    # for full-recursion CI, circuits/toycurve.toy_bls12_2chain)
+    inner_ctx: object = None
+    # truncated-digest width; must embed in native_r (31 bytes fits the
+    # 377-bit BW6-761 Fr; toy outer fields are narrower)
+    hash_bytes: int = BATCH_HASH_BYTES
 
     def circuit_id(self) -> str:
-        return f"aggregator-{self.n_votes}-v1"
+        com = "-com" if self.inner_committed else ""
+        ctx = (
+            f"-{self.inner_ctx.name}" if self.inner_ctx is not None else ""
+        )
+        return f"aggregator-{self.n_votes}{com}{ctx}-v1"
 
 
 @dataclass
@@ -75,7 +89,7 @@ def batch_hash(params: AggregatorParams, witness: AggregatorWitness) -> int:
     data = bytes([len(witness.proofs)]) + b"".join(
         (h if m else 0).to_bytes(32, "big") for h, m in zip(vh, mask)
     )
-    return int.from_bytes(keccak256(data)[:BATCH_HASH_BYTES], "big")
+    return int.from_bytes(keccak256(data)[: params.hash_bytes], "big")
 
 
 def build_aggregator_circuit(
@@ -98,14 +112,20 @@ def build_aggregator_circuit(
         for b in mask:
             count = count + b
 
-    gadget = Groth16VerifierGadget(cs, bls377_pairing, params.inner_vk)
+    gadget = Groth16VerifierGadget(
+        cs, params.inner_ctx or bls377_pairing, params.inner_vk
+    )
     masked_bits = []
     for i in range(params.n_votes):
         with cs.scope(f"verify-{i}"):
             vh = cs.priv_input(vh_vals[i])
             bits = gadget.scalar_bits_from_native(vh)
-            pv = gadget.alloc_proof(proofs[i])
-            gadget.assert_valid(pv, [bits])
+            if params.inner_committed:
+                pv = gadget.alloc_committed_proof(proofs[i])
+                gadget.assert_valid_committed(pv, [bits])
+            else:
+                pv = gadget.alloc_proof(proofs[i])
+                gadget.assert_valid(pv, [bits])
             masked_bits.append([cs.mul(mask[i], b) for b in bits])
 
     with cs.scope("batch-hash"):
@@ -116,7 +136,7 @@ def build_aggregator_circuit(
         for bits in masked_bits:
             msg += _value_bits_to_bytes(cs, bits, 32)
         digest = keccak256_bits(cs, msg)
-        bound = _bytes_bits_to_value(cs, digest[: BATCH_HASH_BYTES * 8])
+        bound = _bytes_bits_to_value(cs, digest[: params.hash_bytes * 8])
         cs.assert_eq(bound, bh_pub)
     return cs
 

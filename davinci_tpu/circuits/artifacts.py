@@ -67,6 +67,25 @@ class CircuitRuntime:
         )
         return proof
 
+    def prove_committed(self, build_fn, **kw):
+        """Two-phase committed proving (lookup-tier circuits):
+        build_fn(challenge, blind) -> solved ConstraintSystem."""
+        with log.info_time(
+            "circuit.prove_committed", circuit=self.circuit_id,
+            curve=self.curve_name,
+        ):
+            return self.g16.prove_committed(self.pk, build_fn, **kw)
+
+    def verify_committed(self, proof, public_inputs) -> bool:
+        return self.g16.verify_committed(self.vk, proof, public_inputs)
+
+    def prove_and_verify_committed(self, build_fn, public_inputs, **kw):
+        proof = self.prove_committed(build_fn, **kw)
+        assert self.verify_committed(proof, public_inputs), (
+            f"{self.circuit_id}: committed proof failed verification"
+        )
+        return proof
+
 
 class ArtifactStore:
     """Disk cache of CircuitRuntimes keyed by (circuit_id, structure hash)."""

@@ -106,6 +106,59 @@ class EmulatedOps:
     def from_limb_vars(self, limbs, bound: int) -> EmuVar:
         return EmuVar(list(limbs), bound)
 
+    def bind_native(self, v) -> EmuVar:
+        """An emulated element EQUAL (as an integer) to the native LinComb
+        `v` — the circuit-4 direction of cross-field binding: BN254-native
+        blob cells embedded into emulated BLS12-381 Fr (reference
+        circuits/statetransition VerifyBlobs data binding).
+
+        Requires emu_p >= native p (the embedding is injective).  Limbs
+        are allocated from the true value; a limb-wise canonical
+        comparison enforces the recomposed integer < native_p, which makes
+        the native recomposition equality exact over the integers — no
+        mod-p representative ambiguity on either side."""
+        cs = self.cs
+        assert self.p >= cs.p, "bind_native embeds small field into large"
+        v = cs.coerce(v)
+        if v.is_constant():
+            return self.constant(v.value)
+        mask = (1 << self.w) - 1
+        val = v.value
+        limbs = []
+        for i in range(self.n):
+            lv = cs.priv_input((val >> (self.w * i)) & mask)
+            self._range_check(lv, self.w)
+            limbs.append(lv)
+        self._assert_limbs_lt_const(limbs, cs.p)
+        acc = cs.constant(0)
+        for i, l in enumerate(limbs):
+            acc = acc + l * (1 << (self.w * i))
+        cs.assert_eq(acc, v)
+        return EmuVar(limbs, mask)
+
+    def _assert_limbs_lt_const(self, limbs, bound: int):
+        """sum(limbs[i] * 2^(w*i)) < bound, each limb already range-checked
+        to w bits.  Standard msb-first compare: one (geq-bit, remainder)
+        split + one equality flag per limb."""
+        cs = self.cs
+        assert bound < 1 << (self.n * self.w)
+        bl = [(bound >> (self.w * i)) & ((1 << self.w) - 1) for i in range(self.n)]
+        lt = cs.constant(0)  # strict-less established at a higher limb
+        eq = cs.one          # all higher limbs equal
+        for i in reversed(range(self.n)):
+            li, bi = limbs[i], bl[i]
+            # t = [li >= bi]:  li - bi + 2^w == t*2^w + rem, rem in [0, 2^w)
+            diff_val = li.value - bi + (1 << self.w)
+            t_val, rem_val = divmod(diff_val, 1 << self.w)
+            t = cs.priv_input(t_val)
+            cs.assert_bool(t)
+            rem = cs.priv_input(rem_val)
+            self._range_check(rem, self.w)
+            cs.assert_eq(li - bi + (1 << self.w), t * (1 << self.w) + rem)
+            lt = lt + cs.mul(eq, cs.one - t)
+            eq = cs.mul(eq, cs.is_zero(li - bi))
+        cs.assert_eq(lt, cs.one)
+
     # -- host values (hints) -------------------------------------------------
 
     def raw_int(self, a: EmuVar) -> int:

@@ -77,6 +77,12 @@ class LookupRangeChecker:
         self._finalized = True
         cs, tb = self.cs, self.tb
         n_table = 1 << tb
+        # gamma inside the table makes a denominator vanish; H(D) lands
+        # there with probability 2^(tb - 253) (negligible), but a TEST
+        # challenge must be chosen outside [0, 2^tb)
+        assert challenge_value == 0 or challenge_value >= n_table, (
+            "challenge collides with the lookup table range"
+        )
 
         counts = [0] * n_table
         for v in self._checked:

@@ -399,3 +399,89 @@ class Groth16VerifierGadget:
         )
         f = pg.fp12.mul(f, pg.fp12_constant(self._m_ab))
         pg.assert_final_exp_is_one(f)
+
+    # -- committed proofs (Groth16 Pedersen-commitment extension) ------------
+
+    def alloc_committed_proof(self, proof):
+        """Host CommittedProof -> gadget points incl. the commitment D and
+        its proof-of-knowledge (gnark std/recursion groth16-with-commitment
+        role)."""
+        pv = self.alloc_proof(proof)
+        pg = self.pg
+        D = pg.g1.alloc_point(proof.d)
+        pok = pg.g1.alloc_point(proof.pok)
+        pg.g1.assert_on_curve(D)
+        pg.g1.assert_on_curve(pok)
+        pv["D"], pv["pok"] = D, pok
+        return pv
+
+    def challenge_bits(self, proof_vars):
+        """Recompute the inner proof's Fiat-Shamir challenge in-circuit:
+        c = Poseidon_fp(D.x, D.y) mod r — matching
+        Groth16.commitment_challenge's recursion-curve hash.  NATIVE base
+        ops only (the 2-chain aggregator case: the circuit's scalar field
+        IS the inner curve's fp, so the Poseidon is a few hundred
+        constraints).
+
+        The h == q*r + c split is exact over the native field; q's width
+        admits at most two integer representatives of h, so a malicious
+        prover can pick between <= 2 challenge values — the lookup
+        argument's Schwartz-Zippel soundness error at worst doubles
+        (immaterial at ~2^-250)."""
+        from davinci_tpu.circuits.algebra import NativeOps
+
+        assert isinstance(self.pg.base, NativeOps), (
+            "challenge recomputation needs native base ops (2-chain)"
+        )
+        cs = self.cs
+        Dx, Dy = proof_vars["D"]
+        h = cs.poseidon([Dx, Dy])
+        r = self.ctx.r
+        qv, cv = divmod(h.value % cs.p, r)
+        q = cs.priv_input(qv)
+        c = cs.priv_input(cv)
+        cs.assert_eq(h, q * r + c)
+        cs.to_bits(q, cs.p.bit_length() - r.bit_length() + 1)
+        return self.scalar_bits_from_native(c)
+
+    def assert_valid_committed(self, proof_vars, public_bit_lists):
+        """Verify a committed proof (host Groth16.verify_committed
+        mirrored): the PoK pairing check pins D to the committed basis;
+        the main check folds [H(D)] k_challenge + D into the public-input
+        accumulation."""
+        pg = self.pg
+        vk = self.vk
+        assert vk.k_challenge_g1 is not None and vk.eta_g2 is not None, (
+            "inner VK carries no commitment extension"
+        )
+        pv = proof_vars
+        # PoK: e(pok, G2) * e(-D, [eta] G2) == 1
+        f = pg.miller_pairs(
+            [
+                (pv["pok"], ("const", self.ctx.g2.gen)),
+                (pg.g1.neg(pv["D"]), ("const", vk.eta_g2)),
+            ]
+        )
+        pg.assert_final_exp_is_one(f)
+        # main equation with PI = k0 + sum [s_i] k_i + [H(D)] k_chal + D
+        c_bits = self.challenge_bits(pv)
+        ks = vk.k_pub_g1
+        assert len(public_bit_lists) == len(ks) - 1, "public count mismatch"
+        pi = pg.g1.msm_with_aux(
+            list(public_bit_lists) + [c_bits],
+            list(ks[1:]) + [vk.k_challenge_g1],
+            self._aux,
+            self.nbits,
+        )
+        pi = pg.g1.add_unequal(pi, pg.g1.constant_point(ks[0]))
+        pi = pg.g1.add_unequal(pi, pv["D"])
+        A, B, C = pv["A"], pv["B"], pv["C"]
+        f = pg.miller_pairs(
+            [
+                (pg.g1.neg(A), ("var", B)),
+                (pi, ("const", vk.gamma_g2)),
+                (C, ("const", vk.delta_g2)),
+            ]
+        )
+        f = pg.fp12.mul(f, pg.fp12_constant(self._m_ab))
+        pg.assert_final_exp_is_one(f)

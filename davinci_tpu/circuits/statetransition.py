@@ -59,13 +59,32 @@ class StateTransitionParams:
     native_r: int = F.BN254_R
     verify_aggregator: bool = False   # emulated BW6 pairing (gated: heavy)
     agg_vk: object = None             # aggregator VerifyingKey when enabled
+    agg_ctx: object = None            # aggregator curve ctx (None = BW6-761)
     include_census: bool = True       # census eligibility sub-circuit
     census_levels: int = 20           # max LeanIMT depth (2^20 voters)
+    # blob binding (reference VerifyBlobs:400): prove the packed batch blob
+    # evaluates to y at z over emulated BLS12-381 Fr.  Production domain is
+    # the 4096-cell blob domain; CI uses reduced domains with the same code
+    include_blob: bool = False
+    blob_domain_bits: int = 12
+    # log-derivative lookup range checks (Groth16 commitment extension) for
+    # the emulated sub-gadgets; lookup circuits prove via prove_committed
+    use_lookup: bool = False
+    # batch-hash truncation; MUST match the aggregator's
+    # (AggregatorParams.hash_bytes) — the value is circuit 3's public input
+    hash_bytes: int = 31
+    # per-vote hash truncation; must embed in the aggregator's inner
+    # scalar field (252 < BLS12-377 r; toy chains are narrower)
+    vote_hash_bits: int = VOTE_HASH_BITS
 
     def circuit_id(self) -> str:
         cen = f"-c{self.census_levels}" if self.include_census else "-nocen"
+        blob = (
+            f"-blob{self.blob_domain_bits}" if self.include_blob else ""
+        )
+        lk = "-lookup" if self.use_lookup else ""
         return (
-            f"statetransition-{self.n_votes}v-{self.n_levels}l{cen}"
+            f"statetransition-{self.n_votes}v-{self.n_levels}l{cen}{blob}{lk}"
             f"{'-aggv' if self.verify_aggregator else ''}-v1"
         )
 
@@ -82,6 +101,8 @@ class StateTransitionWitness:
     agg_proof: object = None      # BW6 aggregator proof (when verifying)
     census_root: int = 0          # LeanIMT root / CSP root (public)
     census_proofs: list = None    # per-vote census proof dicts (see below)
+    blob_z: int = 0               # KZG evaluation point (public, 2x128b)
+    blob_y: int = 0               # claimed blob evaluation (public, 2x128b)
     # census_proofs[i] for a real vote is either
     #   {"kind": "merkle", "siblings": [...], "actives": [...],
     #    "index_bits": [...], "index": int}    (LeanIMT.prove_circuit)
@@ -89,13 +110,14 @@ class StateTransitionWitness:
     #   {"kind": "csp", "public": (x, y), "r8": (x, y), "s": int,
     #    "voter_index": int}                    (csp.generate_proof, TE)
 
-    def vote_hash(self, i: int, hash_p: int) -> int:
+    def vote_hash(self, i: int, hash_p: int,
+                  nbits: int = VOTE_HASH_BITS) -> int:
         v = self.batch.votes[i]
         h = poseidon_hash(
             [self.process_id, v.address, v.vote_id, self.inputs_hashes[i]],
             p=hash_p,
         )
-        return h & ((1 << VOTE_HASH_BITS) - 1)
+        return h & ((1 << nbits) - 1)
 
     def batch_hash(self, params) -> int:
         from davinci_tpu.ethereum import keccak256
@@ -104,16 +126,26 @@ class StateTransitionWitness:
         data = bytes([n])
         for i in range(params.n_votes):
             if i < n:
-                data += self.vote_hash(i, params.native_r).to_bytes(32, "big")
+                data += self.vote_hash(
+                    i, params.native_r, params.vote_hash_bits
+                ).to_bytes(32, "big")
             else:
                 data += (0).to_bytes(32, "big")
-        return int.from_bytes(keccak256(data)[:31], "big")
+        return int.from_bytes(keccak256(data)[: params.hash_bytes], "big")
 
 
 def build_state_transition_circuit(
-    params: StateTransitionParams, w: StateTransitionWitness
+    params: StateTransitionParams, w: StateTransitionWitness,
+    challenge: int = 0, blind: int = 0,
 ) -> ConstraintSystem:
+    """challenge/blind: two-phase commitment inputs when params.use_lookup
+    (driven by Groth16.prove_committed)."""
     cs = ConstraintSystem(params.native_r)
+    rc = None
+    if params.use_lookup:
+        from davinci_tpu.circuits.lookup import LookupRangeChecker
+
+        rc = LookupRangeChecker(cs, table_bits=12)
     batch = w.batch
     n = params.n_votes
     nv = len(batch.votes)
@@ -126,6 +158,17 @@ def build_state_transition_circuit(
     census_root = (
         cs.pub_input(w.census_root) if params.include_census else None
     )
+    blob_pubs = None
+    if params.include_blob:
+        # z/y are BLS12-381 Fr values (exceed the native field): 2x128-bit
+        # public halves (reference statetransition.go BlobEvalZ/Y layout)
+        blob_pubs = [
+            cs.pub_input(v)
+            for v in (
+                w.blob_z & ((1 << 128) - 1), w.blob_z >> 128,
+                w.blob_y & ((1 << 128) - 1), w.blob_y >> 128,
+            )
+        ]
 
     # -- process config under root_before -----------------------------------
     pid = cs.priv_input(w.process_id)
@@ -180,6 +223,7 @@ def build_state_transition_circuit(
             return inputs
 
     vote_hash_bits_all = []
+    blob_vote_cells = []
     reenc_sum = None
     over_sum = None
     mask = []
@@ -293,8 +337,13 @@ def build_state_transition_circuit(
 
             # 5. per-vote hash (native Poseidon over BN254)
             vh = cs.poseidon([pid, addr, vid, ih])
-            vh_bits = G.to_bits_canonical(cs, vh, 254)[:VOTE_HASH_BITS]
+            vh_bits = G.to_bits_canonical(cs, vh, 254)[: params.vote_hash_bits]
             vote_hash_bits_all.append([cs.mul(m, b) for b in vh_bits])
+
+            # the slot's blob cells in codec order (state/blobcodec
+            # pack_batch_blob); padded slots carry structural zeros —
+            # exactly the blob's zero padding
+            blob_vote_cells.append([vid, addr, bidx, weight] + list(reenc))
 
         # 6. census eligibility (VerifyMerkleCensusProofs:495 /
         # VerifyCSPCensusProofs:517) — both gadgets run uniformly, the
@@ -410,8 +459,37 @@ def build_state_transition_circuit(
         for bits in vote_hash_bits_all:
             msg += _value_bits_to_bytes(cs, bits, 32)
         digest = keccak256_bits(cs, msg)
-        bound = _bytes_bits_to_value(cs, digest[: 31 * 8])
+        bound = _bytes_bits_to_value(cs, digest[: params.hash_bytes * 8])
         cs.assert_eq(bound, batch_hash_pub)
+
+    # -- blob binding (reference VerifyBlobs:400) ----------------------------
+    if params.include_blob:
+        with cs.scope("blob"):
+            from davinci_tpu.circuits.blob_gadget import blob_eval
+            from davinci_tpu.circuits.emulated import EmulatedOps
+
+            E = EmulatedOps(cs, F.BLS12_381_R, range_checker=rc)
+            dom = _blob_domain(params.blob_domain_bits)
+
+            def _from_halves(lo, hi):
+                for h in (lo, hi):
+                    if rc is not None:
+                        rc.range_check(h, 128)
+                    else:
+                        cs.to_bits(h, 128)
+                return E.add(
+                    E.bind_native(lo), E.cmul(E.bind_native(hi), 1 << 128)
+                )
+
+            z_var = _from_halves(blob_pubs[0], blob_pubs[1])
+            y_var = _from_halves(blob_pubs[2], blob_pubs[3])
+            cells = [E.bind_native(v) for v in new_res]
+            cells.append(E.bind_native(count))
+            for slot in blob_vote_cells:
+                cells.extend(E.bind_native(v) for v in slot)
+            assert len(cells) <= len(dom), "blob overflow"
+            cells += [E.zero] * (len(dom) - len(cells))
+            blob_eval(cs, E, dom, cells, z_var, y_var)
 
     # -- aggregator proof (emulated BW6-761) ---------------------------------
     if params.verify_aggregator:
@@ -420,13 +498,38 @@ def build_state_transition_circuit(
                 Groth16VerifierGadgetBW6,
             )
 
-            gadget = Groth16VerifierGadgetBW6(cs, params.agg_vk)
+            gadget = Groth16VerifierGadgetBW6(
+                cs, params.agg_vk, ctx=params.agg_ctx, range_checker=rc
+            )
             pv = gadget.alloc_proof(w.agg_proof)
             # the aggregator's single public input IS our batch hash
-            bh_bits = cs.to_bits(batch_hash_pub, 31 * 8)
+            bh_bits = cs.to_bits(batch_hash_pub, params.hash_bytes * 8)
             gadget.assert_valid(pv, [bh_bits])
 
+    if rc is not None:
+        rc.finalize(challenge, blind)
     return cs
+
+
+def _blob_domain(bits: int) -> list:
+    """brp-ordered 2^bits evaluation domain, EIP-4844 PRIMITIVE_ROOT=7
+    convention.  bits=12 IS the production blob domain (kzg._domain);
+    reduced sizes run the identical gadget code in CI."""
+    if bits == 12:
+        from davinci_tpu.blobs.kzg import _domain
+
+        return _domain()
+    from davinci_tpu.blobs.setup import _brp
+
+    R = F.BLS12_381_R
+    n = 1 << bits
+    wroot = pow(7, (R - 1) // n, R)
+    roots = []
+    cur = 1
+    for _ in range(n):
+        roots.append(cur)
+        cur = cur * wroot % R
+    return [roots[_brp(i, bits)] for i in range(n)]
 
 
 # -- helpers -----------------------------------------------------------------

@@ -293,8 +293,13 @@ assert _is_prime(BABYJUBJUB_L)
 
 
 def _limbs_for(bits: int) -> int:
-    """Limb count rounded up to a multiple of 2 for friendlier layouts."""
-    n = -(-bits // LIMB_BITS)
+    """Limb count rounded up to a multiple of 2 for friendlier layouts.
+
+    At least one spare bit above the modulus is REQUIRED: the branchless
+    kernels hold intermediate values in [0, 2p), so L*LIMB_BITS must
+    exceed bits (a field of exactly L*12 bits silently wraps — caught by
+    the toy 2-chain's 168-bit scalar field)."""
+    n = -(-(bits + 1) // LIMB_BITS)
     return n + (n % 2)
 
 

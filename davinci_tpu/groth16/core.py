@@ -88,6 +88,7 @@ class Groth16:
         """Either a registered curve name, or an explicit (ctx, fr) pair —
         the latter lets synthetic curve families (toy recursion chains in
         CI, circuits/toycurve.py) reuse the whole backend."""
+        self.curve_name = curve_name
         self.ctx = ctx or PAIRINGS[curve_name]
         self.fr = fr or {
             "bn254": F.bn254_fr,
@@ -334,15 +335,32 @@ class Groth16:
         return CommittedProof(a=base.a, b=base.b, c=base.c, d=D, pok=pok)
 
     def commitment_challenge(self, D: AffinePoint) -> int:
-        """H(D) mod r — the Fiat-Shamir challenge the verifier recomputes."""
-        from davinci_tpu.ethereum import keccak256
+        """H(D) mod r — the Fiat-Shamir challenge the verifier recomputes.
 
-        nb = (self.g1.fld.p.bit_length() + 7) // 8
-        if D.infinity:
-            data = b"\x00" * (2 * nb)
-        else:
-            data = D.x.v.to_bytes(nb, "big") + D.y.v.to_bytes(nb, "big")
-        return int.from_bytes(keccak256(b"davinci-commit-v1" + data), "big") % self.r
+        Hash choice is curve-bound: BN254 proofs are verified by EVM
+        contracts, so keccak (cheap on-chain); every other curve's proofs
+        are verified IN-CIRCUIT one level up the recursion chain
+        (aggregator verifying committed vote-verifier proofs — reference
+        gnark std/recursion commitment hash role), where the next
+        circuit's native field is this curve's base field — so Poseidon
+        over fp makes the in-circuit recomputation a few hundred
+        constraints instead of a keccak permutation (~150k)."""
+        if self.curve_name == "bn254":
+            from davinci_tpu.ethereum import keccak256
+
+            nb = (self.g1.fld.p.bit_length() + 7) // 8
+            if D.infinity:
+                data = b"\x00" * (2 * nb)
+            else:
+                data = D.x.v.to_bytes(nb, "big") + D.y.v.to_bytes(nb, "big")
+            return (
+                int.from_bytes(keccak256(b"davinci-commit-v1" + data), "big")
+                % self.r
+            )
+        from davinci_tpu.hash.poseidon import poseidon_hash
+
+        x, y = (0, 0) if D.infinity else (D.x.v, D.y.v)
+        return poseidon_hash([x, y], p=self.g1.fld.p) % self.r
 
     def verify_committed(
         self, vk: VerifyingKey, proof: "CommittedProof", public_inputs: list

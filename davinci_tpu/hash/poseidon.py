@@ -75,8 +75,16 @@ class _Grain:
 
 
 @functools.lru_cache(maxsize=None)
-def poseidon_constants(t: int, p: int = F.BN254_R, n_bits: int = 254):
-    """(C, M): round constants (R*t) and MDS matrix (t x t) for state width t."""
+def poseidon_constants(t: int, p: int = F.BN254_R, n_bits: int | None = None):
+    """(C, M): round constants (R*t) and MDS matrix (t x t) for state width t.
+
+    n_bits: grain sample width.  Defaults to 254 (the circomlib/iden3
+    convention, kept for every field >= 254 bits so existing instances are
+    stable); fields smaller than 254 bits (toy recursion curves) sample at
+    their own width — 254-bit rejection sampling against a small p would
+    never terminate."""
+    if n_bits is None:
+        n_bits = min(254, p.bit_length())
     r_p = N_ROUNDS_P[t - 2]
     g = _Grain(n_bits, t, R_F, r_p)
     n_rounds = R_F + r_p

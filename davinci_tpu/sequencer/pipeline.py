@@ -77,16 +77,29 @@ class InMemoryChain:
     def process(self, pid: int) -> ProcessInfo:
         return self.processes[pid]
 
-    def submit_transition(self, pid: int, root_before, root_after, proof, blob):
+    def submit_transition(
+        self, pid: int, root_before, root_after, proof, blob, sidecar=None
+    ):
         if self.fail_next:
             self.fail_next = False
             raise RuntimeError("chain: simulated submission failure")
         p = self.processes[pid]
         if p.state_root != root_before:
             raise RuntimeError("chain: root mismatch")
+        if sidecar is not None:
+            # version + proof-count guard, like the reference submission
+            # path (sequencer/onchain.go:162-173)
+            from davinci_tpu.web3.blobtx import CELL_PROOFS_PER_BLOB
+
+            if sidecar.get("version") != 1:
+                raise RuntimeError(
+                    f"chain: unexpected sidecar version {sidecar.get('version')}"
+                )
+            if len(sidecar["cell_proofs"]) != CELL_PROOFS_PER_BLOB:
+                raise RuntimeError("chain: wrong cell-proof count")
         p.state_root = root_after
         self.transitions.append((pid, root_before, root_after, proof))
-        self.blobs.append((pid, blob))
+        self.blobs.append((pid, blob, sidecar))
 
     def end_process(self, pid: int):
         self.processes[pid].ended = True
@@ -321,23 +334,33 @@ class Sequencer:
             )
         result = st.prepare_votes_batch(votes)
 
-        # blob packing + KZG eval data (reference state/blobs.go)
+        # blob packing + KZG eval data (reference state/blobs.go); the
+        # eval point/value feed circuit 4's blob binding when enabled
         from davinci_tpu.state.blobcodec import pack_batch_blob
 
-        blob_info = pack_batch_blob(pid, result)
+        wants_kzg = bool(
+            getattr(self.provers, "c4_overrides", {}).get("include_blob")
+        )
+        blob_info = pack_batch_blob(pid, result, with_kzg=wants_kzg)
 
         # EIP-7594 sidecar (version 1: 128 cell proofs) — opt-in, heavy
         # (reference sequencer/onchain.go:168-173, types/blobs.go:90-162)
         import os as _os
 
+        sidecar = None
         if _os.environ.get("DAVINCI_CELL_PROOFS"):
-            from davinci_tpu.blobs.cells import compute_cells_and_proofs
-            from davinci_tpu.blobs.kzg import Blob
+            from davinci_tpu.blobs.cells import compute_cell_proofs_device
+            from davinci_tpu.blobs.kzg import Blob, blob_to_commitment
 
             blob_obj = Blob.from_bytes(bytes.fromhex(blob_info["blob_hex"]))
             with log.info_time("blob.cell_proofs", pid=pid):
-                _, cell_proofs = compute_cells_and_proofs(blob_obj)
-            blob_info["cell_proofs"] = [p.hex() for p in cell_proofs]
+                commitment = blob_to_commitment(blob_obj)
+                cell_proofs = compute_cell_proofs_device(blob_obj)
+            sidecar = {
+                "version": 1,
+                "commitment": commitment.hex(),
+                "cell_proofs": [p.hex() for p in cell_proofs],
+            }
 
         from davinci_tpu.circuits.statetransition import StateTransitionWitness
 
@@ -356,6 +379,8 @@ class Sequencer:
                 census_proofs if any(p is not None for p in census_proofs)
                 else None
             ),
+            blob_z=blob_info.get("z", 0),
+            blob_y=blob_info.get("y", 0),
         )
         proof = self.provers.prove_state_transition(
             {
@@ -375,6 +400,7 @@ class Sequencer:
                 "root_after": result.root_after,
                 "proof": proof,
                 "blob": blob_info["blob_hex"],
+                "sidecar": sidecar,
                 "vote_ids": [v.vote_id for v in votes],
             }
         )
@@ -394,7 +420,8 @@ class Sequencer:
         pid = t["pid"]
         try:
             self.chain.submit_transition(
-                pid, t["root_before"], t["root_after"], t["proof"], t["blob"]
+                pid, t["root_before"], t["root_after"], t["proof"], t["blob"],
+                sidecar=t.get("sidecar"),
             )
         except RuntimeError:
             # rollback: release the item for retry and restore state

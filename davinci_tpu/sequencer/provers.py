@@ -57,13 +57,17 @@ class ProtocolProvers:
         store=None,
         modes: ProverModes | None = None,
         n_votes_agg: int = 4,
+        c4_overrides: dict | None = None,
     ):
+        """c4_overrides: extra StateTransitionParams fields (include_blob,
+        blob_domain_bits, use_lookup, verify_aggregator, ...)."""
         from davinci_tpu.circuits.artifacts import default_store
 
         self.c2_params = c2_params
         self.store = store or default_store()
         self.modes = modes or ProverModes()
         self.n_votes_agg = n_votes_agg
+        self.c4_overrides = c4_overrides or {}
         self._c2_rt = None
         self._dummy = None  # (proof_dict, vote_hash) canonical padding
 
@@ -86,13 +90,25 @@ class ProtocolProvers:
                 "vote_hash": hex(vote_hash),
             }
         rt = self._c2_runtime(cs)
-        proof = rt.prove_and_verify(cs)
+        proof = self._c2_prove(rt, w, cs)
         return {
             "kind": "vote",
             "proven": True,
             "vote_hash": hex(vote_hash),
             "proof": proof_to_dict(proof),
         }
+
+    def _c2_prove(self, rt, w, cs):
+        """Prove circuit 2: lookup-tier params go through the two-phase
+        committed prover (the lookup's Fiat-Shamir gamma is H(D))."""
+        if self.c2_params.use_lookup:
+            return rt.prove_and_verify_committed(
+                lambda challenge, blind: build_vote_verifier_circuit(
+                    self.c2_params, w, challenge=challenge, blind=blind
+                ),
+                cs.public_values(),
+            )
+        return rt.prove_and_verify(cs)
 
     def _vote_witness(self, item: dict) -> VoteVerifierWitness:
         wd = item["client"]
@@ -147,7 +163,7 @@ class ProtocolProvers:
                 w.ballot_proof = None
             cs = build_vote_verifier_circuit(params, w)
             rt = self._c2_runtime(cs)
-            proof = rt.prove_and_verify(cs)
+            proof = self._c2_prove(rt, w, cs)
             self._dummy = (proof, witness_vote_hash(params, w))
         return self._dummy
 
@@ -163,6 +179,7 @@ class ProtocolProvers:
             dummy_proof=dummy_proof,
             dummy_public=dummy_hash,
             n_votes=self.n_votes_agg,
+            inner_committed=self.c2_params.use_lookup,
         )
         hashes, proofs = [], []
         for b in ballots[: self.n_votes_agg]:
@@ -208,6 +225,7 @@ class ProtocolProvers:
             n_votes=batch_summary["n_votes"],
             include_census=w.census_proofs is not None,
             census_levels=batch_summary.get("census_levels", 20),
+            **self.c4_overrides,
         )
         cs = build_state_transition_circuit(params, w)
         publics = cs.public_values()
@@ -219,7 +237,15 @@ class ProtocolProvers:
                 "solved": bool(ok), "public": [hex(x) for x in publics],
             }
         rt = self.store.load_or_setup(params.circuit_id(), "bn254", cs)
-        proof = rt.prove_and_verify(cs)
+        if params.use_lookup:
+            proof = rt.prove_and_verify_committed(
+                lambda challenge, blind: build_state_transition_circuit(
+                    params, w, challenge=challenge, blind=blind
+                ),
+                publics,
+            )
+        else:
+            proof = rt.prove_and_verify(cs)
         return {
             "kind": "state_transition", "proven": True,
             "public": [hex(x) for x in publics],

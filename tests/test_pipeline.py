@@ -131,3 +131,34 @@ def test_stale_reservation_release():
     assert seq.storage.pending_ballots.next(1) == []  # reserved
     seq.storage.clean_all_pending()
     assert len(seq.storage.pending_ballots.next(1)) == 1  # retryable again
+
+
+def test_transition_sidecar_wiring(monkeypatch):
+    """DAVINCI_CELL_PROOFS routes a version-1 sidecar (commitment + 128
+    cell proofs) through the transition record to chain submission, where
+    the structural guard runs (reference sequencer/onchain.go:162-173).
+    Proof bytes are stubbed — real cell-proof math is tests/test_cells.py."""
+    from davinci_tpu.blobs import cells as cells_mod
+    from davinci_tpu.blobs import kzg as kzg_mod
+
+    monkeypatch.setenv("DAVINCI_CELL_PROOFS", "1")
+    monkeypatch.setattr(
+        kzg_mod, "blob_to_commitment", lambda blob: b"\x01" * 48
+    )
+    monkeypatch.setattr(
+        cells_mod,
+        "compute_cell_proofs_device",
+        lambda blob, cell_ids=None: [bytes([i]) * 48 for i in range(128)],
+    )
+    r = random.Random(21)
+    seq, chain, pid, pub, priv = _setup(r)
+    _vote(r, seq, pid, pub, [1] * 8)
+    seq.tick_ballot()
+    seq.tick_aggregate()
+    seq.tick_transition(rng=r)
+    seq.tick_onchain()
+    assert len(chain.blobs) == 1
+    _, _, sidecar = chain.blobs[0]
+    assert sidecar["version"] == 1
+    assert len(sidecar["cell_proofs"]) == 128
+    assert sidecar["commitment"] == ("01" * 48)

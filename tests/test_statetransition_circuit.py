@@ -210,3 +210,48 @@ def test_state_transition_csp_census():
     idx = cs2.values.index(cproofs[0]["s"], 1)
     cs2.values[idx] = (cs2.values[idx] + 1) % cs2.p
     assert not cs2.check_satisfied()
+
+
+def test_state_transition_blob_binding(batch_setup):
+    """include_blob: the packed batch cells, bound from the in-circuit vote
+    variables, must barycentric-evaluate to y at z over emulated BLS12-381
+    Fr (reference VerifyBlobs:400).  Reduced 128-cell domain, lookup tier."""
+    import copy
+    import random as _r
+    from dataclasses import replace
+
+    from davinci_tpu import fields as F
+    from davinci_tpu.circuits.blob_gadget import barycentric_eval_host
+    from davinci_tpu.circuits.statetransition import _blob_domain
+
+    params, w = batch_setup
+    p2 = replace(params, include_blob=True, blob_domain_bits=7, use_lookup=True)
+    # the cells exactly as state/blobcodec.pack_batch_blob lays them out
+    cells = list(w.batch.new_results.coords()) + [len(w.batch.votes)]
+    for v in w.batch.votes:
+        cells += [v.vote_id, v.address, v.ballot_index, v.weight]
+        cells += v.reencrypted_ballot.coords()
+    dom = _blob_domain(7)
+    data = cells + [0] * (len(dom) - len(cells))
+    rng = _r.Random(9)
+    z = rng.randrange(F.BLS12_381_R)
+    y = barycentric_eval_host(dom, data, z)
+    w2 = copy.copy(w)
+    w2.blob_z, w2.blob_y = z, y
+    cs = build_state_transition_circuit(p2, w2, challenge=0x1CEB00DA999, blind=3)
+    assert cs.public_values()[-4:] == [
+        z & ((1 << 128) - 1), z >> 128,
+        y & ((1 << 128) - 1), y >> 128,
+    ]
+    assert cs.check_satisfied(), cs.first_unsatisfied()
+
+    w3 = copy.copy(w2)
+    w3.blob_y = (y + 1) % F.BLS12_381_R
+    try:
+        cs = build_state_transition_circuit(
+            p2, w3, challenge=0x1CEB00DA999, blind=3
+        )
+        ok = cs.check_satisfied()
+    except AssertionError:  # hint-time detection during the build
+        ok = False
+    assert not ok
