@@ -65,6 +65,7 @@ class API:
             ("GET", re.compile(r"^/censuses/(\d+)/proof/(\d+)$"), self.census_proof),
             ("GET", re.compile(r"^/sequencer/stats/(\d+)$"), self.stats),
             ("GET", re.compile(r"^/info$"), self.info),
+            ("GET", re.compile(r"^/app/?$"), self.webapp),
         ]
 
     def dispatch(self, method: str, path: str, body: dict | None) -> dict:
@@ -308,6 +309,12 @@ class API:
             },
         }
 
+    def webapp(self, body=None):
+        """Static dashboard (reference api/api.go:29-32 webapp role)."""
+        from davinci_tpu.webapp import DASHBOARD_HTML
+
+        return {"__html__": DASHBOARD_HTML}
+
 
 # ---------------------------------------------------------------------------
 # HTTP transport
@@ -319,9 +326,14 @@ def serve(api: API, host: str = "127.0.0.1", port: int = 0):
 
     class Handler(BaseHTTPRequestHandler):
         def _respond(self, code: int, payload: dict):
-            data = json.dumps(payload).encode()
+            if isinstance(payload, dict) and "__html__" in payload:
+                data = payload["__html__"].encode()
+                ctype = "text/html; charset=utf-8"
+            else:
+                data = json.dumps(payload).encode()
+                ctype = "application/json"
             self.send_response(code)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)

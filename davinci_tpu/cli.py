@@ -133,6 +133,70 @@ def cmd_e2e(args):
     assert res[0] + res[1] == args.votes
 
 
+def cmd_circuit_compile(args):
+    """Offline circuit compilation: run trusted setup through the artifact
+    store (hash-pinned PK/VK files) and export Solidity verifiers for the
+    on-chain BN254 circuits (reference cmd/circuit-compile/main.go:36-523,
+    exportSolidityVerifierFile:386)."""
+    import pathlib
+
+    from davinci_tpu.circuits.artifacts import ArtifactStore, default_store
+    from davinci_tpu.groth16 import Groth16
+    from davinci_tpu.groth16.serialize import vk_from_bytes
+    from davinci_tpu.web3.solidity_export import export_solidity_verifier
+
+    store = ArtifactStore(args.artifacts_dir) if args.artifacts_dir else default_store()
+    out_dir = pathlib.Path(args.out or store.root)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    compiled = []
+
+    if not args.export_only:
+        # circuit 5 (results verifier): the one circuit compilable without
+        # recursion-chain material; circuits 2-4 artifacts are produced by
+        # the sequencer's ProtocolProvers on first use (same store)
+        from davinci_tpu.circuits.results import (
+            build_results_circuit,
+            results_witness_from_state,
+        )
+        from davinci_tpu import spec
+        from davinci_tpu.elgamal import generate_key
+        from davinci_tpu.state.state import State
+
+        r = random.Random(1)
+        pub, priv = generate_key(r)
+
+        st = State(1)
+        st.initialize(1, 0, (pub.x, pub.y))
+        w = results_witness_from_state(st, priv, 1 << 20, r)
+        cs = build_results_circuit(
+            w, n_levels=args.levels, n_fields=args.fields
+        )
+        cid = (
+            "results-v1"
+            if args.levels == spec.STATE_TREE_MAX_LEVELS
+            else f"results-l{args.levels}f{args.fields}-v1"
+        )
+        rt = store.load_or_setup(cid, "bn254", cs)
+        compiled.append((cid, rt.structure_hash))
+
+    # export .sol for every bn254 artifact present
+    exported = []
+    for d in sorted(store.root.iterdir()) if store.root.exists() else []:
+        meta_p, vk_p = d / "meta.json", d / "vk.bin"
+        if not (meta_p.exists() and vk_p.exists()):
+            continue
+        meta = json.loads(meta_p.read_text())
+        if meta.get("curve") != "bn254":
+            continue
+        g16 = Groth16("bn254")
+        vk = vk_from_bytes(vk_p.read_bytes(), g16.g1, g16.g2)
+        src = export_solidity_verifier(vk, name=meta["circuit_id"])
+        sol_name = f"{meta['circuit_id']}.{meta['structure_hash'][:16]}.sol"
+        (out_dir / sol_name).write_text(src)
+        exported.append(sol_name)
+    print(json.dumps({"compiled": compiled, "exported": exported}))
+
+
 def main():
     ap = argparse.ArgumentParser(prog="davinci-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -161,6 +225,20 @@ def main():
         "(artifact-cached setup; reference RUN_CIRCUIT_TESTS role)",
     )
     e.set_defaults(fn=cmd_e2e)
+
+    cc = sub.add_parser(
+        "circuit-compile",
+        help="offline artifact setup + Solidity verifier export",
+    )
+    cc.add_argument("--artifacts-dir", default="", help="artifact store root")
+    cc.add_argument("--out", default="", help=".sol output dir (default: store)")
+    cc.add_argument(
+        "--export-only", action="store_true",
+        help="only export .sol for existing bn254 artifacts",
+    )
+    cc.add_argument("--levels", type=int, default=64)
+    cc.add_argument("--fields", type=int, default=8)
+    cc.set_defaults(fn=cmd_circuit_compile)
 
     args = ap.parse_args()
     args.fn(args)

@@ -4,12 +4,13 @@ Role parity: reference crypto/csp/ (csp.go CSP interface; eddsa/
 babyjubjub_eddsa.go sign(voterIndex, processID, address, weight) with
 Poseidon challenge; census root = Poseidon(pubkey)).
 
-The signature equation and Poseidon-5 challenge match iden3's
-babyjub.SignPoseidon verification (S*B8 == R8 + c*A, c = Poseidon(R8.x,
-R8.y, A.x, A.y, msg)), so signatures verify under iden3 tooling.  Key and
-nonce derivation use SHA-512 where iden3 uses legacy Blake-512 — this
-affects only which keypair a seed maps to, not verifiability (TODO round 2:
-Blake-512 for seed-for-seed parity).
+Key and nonce derivation follow iden3's babyjub.PrivateKey exactly:
+scalar = prune(Blake512(k)[:32]) >> 3 over B8, nonce r =
+Blake512(Blake512(k)[32:] || msg_le32) mod L (hash/blake512.py — the
+ORIGINAL Blake-512, which go-iden3-crypto vendors), and the Poseidon-5
+challenge matches babyjub.SignPoseidon verification (S*B8 == R8 + c*A,
+c = Poseidon(R8.x, R8.y, A.x, A.y, msg)).  Key-for-key parity is vector-
+tested in tests/test_csp_dkg.py against the iden3 babyjub test key.
 
 Points are kept in TE (iden3) coordinates here because iden3's EdDSA is
 defined on them; conversion helpers bridge to the RTE protocol layer.
@@ -46,21 +47,32 @@ class EdDSASignature:
 
 
 class BabyJubJubEdDSA:
-    def __init__(self, seed: bytes):
-        assert seed, "seed cannot be empty"
-        self._key = hashlib.sha512(seed).digest()
-        self.scalar = _prune_scalar(self._key[:32]) % ORDER
+    def __init__(self, seed: bytes, raw_key: bytes | None = None):
+        """seed -> 32-byte raw private key (reference
+        NewBabyJubJubKeyFromSeed hashes the seed; here SHA-256, since the
+        reference's Poseidon byte-sponge cannot be vector-checked offline)
+        -> iden3 babyjub key schedule via Blake-512.  Pass `raw_key` to
+        use an exact 32-byte babyjub private key (iden3 interop)."""
+        from davinci_tpu.hash.blake512 import blake512
+
+        if raw_key is None:
+            assert seed, "seed cannot be empty"
+            raw_key = hashlib.sha256(seed).digest()
+        assert len(raw_key) == 32
+        self._key = blake512(raw_key)
+        self.scalar = _prune_scalar(self._key[:32])
         self.public = te.mul(te.base8, self.scalar)
 
     def census_root(self) -> int:
         return poseidon_hash([self.public[0], self.public[1]])
 
     def sign(self, msg: int) -> EdDSASignature:
-        """Deterministic nonce from the key's second half + message."""
+        """Deterministic nonce per iden3 babyjub.SignPoseidon: r =
+        Blake512(h[32:] || msg_le32) mod L."""
+        from davinci_tpu.hash.blake512 import blake512
+
         msg %= F.BN254_R
-        r_src = hashlib.sha512(
-            self._key[32:] + msg.to_bytes(32, "little")
-        ).digest()
+        r_src = blake512(self._key[32:] + msg.to_bytes(32, "little"))
         r = int.from_bytes(r_src, "little") % ORDER
         r8 = te.mul(te.base8, r)
         c = poseidon_hash([r8[0], r8[1], self.public[0], self.public[1], msg])

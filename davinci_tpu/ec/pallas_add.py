@@ -107,6 +107,37 @@ def _rcb15(mul, add, sub, b3, P1, P2):
     return X3, Y3, Z3
 
 
+def _rcb15_mixed(mul, add, sub, b3, P1, P2a):
+    """RCB15 Algorithm 8 (a=0, 13M incl. 2 b3-muls): complete mixed
+    addition P1 (projective) + P2 (affine, NOT the identity).  The MSM
+    bucket kernel's hot formula — proving-key points are affine, so Z2==1
+    drops one general mul and a third of the point-stream traffic."""
+    X1, Y1, Z1 = P1
+    X2, Y2 = P2a
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t3 = mul(add(X2, Y2), add(X1, Y1))
+    t3 = sub(t3, add(t0, t1))
+    t4 = add(mul(Y2, Z1), Y1)
+    Y3 = add(mul(X2, Z1), X1)
+    X3 = add(t0, t0)
+    t0 = add(X3, t0)
+    t2 = mul(b3, Z1)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = mul(b3, Y3)
+    X3 = mul(t4, Y3)
+    t2m = mul(t3, t1)
+    X3 = sub(t2m, X3)
+    Y3 = mul(Y3, t0)
+    t1 = mul(t1, Z3)
+    Y3 = add(t1, Y3)
+    t0 = mul(t0, t3)
+    Z3 = mul(Z3, t4)
+    Z3 = add(Z3, t0)
+    return X3, Y3, Z3
+
+
 def _point_add_kernel(p_ref, np_ref, b3_ref, x1r, y1r, z1r, x2r, y2r, z2r,
                       x3r, y3r, z3r):
     L = x1r.shape[0]
@@ -149,6 +180,27 @@ def _point_add_pallas(L, p_limbs, np_limbs, b3_limbs, x1, y1, z1, x2, y2, z2,
         p_limbs[:, None], np_limbs[:, None], b3_limbs[:, None],
         x1, y1, z1, x2, y2, z2,
     )
+
+
+def point_add_t(curve, p, q, interpret=False):
+    """Fused complete addition on TRANSPOSED (L, N) coordinate layout —
+    the MSM pipeline's native layout (limbs on sublanes, batch on lanes).
+    Skips the (N, L) <-> (L, N) transposes of `point_add`, which dominate
+    its cost at bucket-array batch sizes (measured via the jax profiler:
+    the transposes around each reduce-phase call outweighed the adds)."""
+    df = curve.df
+    L = df.L
+    n = p[0].shape[1]
+    n_pad = -(-n // TILE_N) * TILE_N
+    flat = [a for a in (*p, *q)]
+    if n_pad != n:
+        flat = [jnp.pad(a, ((0, 0), (0, n_pad - n))) for a in flat]
+    x3, y3, z3 = _point_add_pallas(
+        L, df.p_limbs, df.nprime_limbs, curve.b3, *flat, interpret
+    )
+    if n_pad != n:
+        return tuple(a[:, :n] for a in (x3, y3, z3))
+    return (x3, y3, z3)
 
 
 def point_add(curve, p, q, interpret=False):

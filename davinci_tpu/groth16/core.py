@@ -224,30 +224,36 @@ class Groth16:
         )
         return pk, vk
 
+    # fixed chunk: ONE compile shape for every setup batch size, and a
+    # bound on device working set — G2 (Fp2) double-and-add at 64k+ points
+    # crashes the TPU worker (device memory blowup), 16k is safe
+    _BATCH_MUL_CHUNK = 16384
+
     def _g1_batch_mul(self, scalars):
-        """[s*G1] for a scalar list — batched device double-and-add.
-        Sizes are padded to powers of two to bound compile-shape count."""
-        if not scalars:
-            return []
-        n = len(scalars)
-        n_pad = 1 << (n - 1).bit_length() if n > 1 else 1
-        padded = list(scalars) + [0] * (n_pad - n)
-        base = self.dc.encode_points([self.g1.gen] * n_pad)
-        S = jnp.asarray(scalars_to_limbs(self.g1, padded))
-        out = self.dc.scalar_mul(base, S)
-        return self.dc.decode_points(out)[:n]
+        """[s*G1] for a scalar list — chunked batched device double-and-add."""
+        return self._batch_mul(self.dc, self.g1, scalars)
 
     def _g2_batch_mul(self, scalars):
-        """[s*G2] — batched device double-and-add over the Fp2 backend."""
+        """[s*G2] — chunked, over the Fp2 backend."""
+        return self._batch_mul(self.dc2, self.g2, scalars)
+
+    def _batch_mul(self, dc, gspec, scalars):
         if not scalars:
             return []
         n = len(scalars)
-        n_pad = 1 << (n - 1).bit_length() if n > 1 else 1
-        padded = list(scalars) + [0] * (n_pad - n)
-        base = self.dc2.encode_points([self.g2.gen] * n_pad)
-        S = jnp.asarray(scalars_to_limbs(self.g2, padded))
-        out = self.dc2.scalar_mul(base, S)
-        return self.dc2.decode_points(out)[:n]
+        chunk = min(
+            self._BATCH_MUL_CHUNK,
+            1 << (n - 1).bit_length() if n > 1 else 1,
+        )
+        base = dc.encode_points([gspec.gen] * chunk)
+        out = []
+        for ofs in range(0, n, chunk):
+            part = list(scalars[ofs : ofs + chunk])
+            part += [0] * (chunk - len(part))
+            S = jnp.asarray(scalars_to_limbs(gspec, part))
+            res = dc.scalar_mul(base, S)
+            out.extend(dc.decode_points(res))
+        return out[:n]
 
     # ------------------------------------------------------------------ prove
 

@@ -1,14 +1,19 @@
 """Monolithic Pallas TPU kernel for Pippenger bucket accumulation.
 
 Replaces the lax.scan + per-step scatter composition in pippenger.py
-(`_bucket_accumulate_fused`) on the TPU path.  Motivation (measured on
-real TPU at n=2^18, BN254): the scan spends ~3.5 ms/step of which only
-~1.7 ms is the fused point-add kernel — the rest is XLA select/scatter
-round trips and the per-call (N, L) <-> (L, N) transposes inside
-ec/pallas_add.point_add.  This kernel keeps the running accumulator in
-VMEM scratch across sequential grid steps (TPU grids execute in order on
-one core), fuses the same-key compare + select into the addition, and
-writes the running accumulator stream to HBM.
+(`_bucket_accumulate_fused`) on the TPU path.  The kernel keeps the
+running accumulator in VMEM scratch across sequential grid steps (TPU
+grids execute in order on one core), fuses the same-key compare + select
+into the addition, and writes the running accumulator stream to HBM.
+
+Input-traffic design (the measured bottleneck at n=2^18 was materializing
+the gathered/tiled point stream, not compute): MSM inputs are AFFINE
+(proving-key bases, SRS points — z==1 by construction; infinities are
+routed to the padding sink via their bucket key), and 12-bit Montgomery
+limbs fit in 16 bits, so the kernel consumes ONE int32 plane per limb
+with x in the low and y in the high half — (rows, L, nl) instead of
+(rows, 3L, nl), a 3x cut of the sorted-stream bytes.  The addition is the
+RCB15 complete MIXED formula (Algorithm 8, a=0, 13M incl. 2 b3-muls).
 
 Buckets are then built by GATHER instead of scatter: after sorting, each
 bucket's points form one contiguous run, so the position of each bucket's
@@ -35,24 +40,37 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from davinci_tpu.ec.pallas_add import _make_field_ops, _rcb15
+from davinci_tpu.ec.pallas_add import _make_field_ops, _rcb15_mixed
 
 
-def _scan_kernel(p_ref, np_ref, b3_ref, keys_ref, pts_ref, out_ref,
+def _scan_kernel(p_ref, np_ref, b3_ref, one_ref, keys_ref, pts_ref, out_ref,
                  acc_ref, key_ref):
     L = p_ref.shape[0]
     r = pl.program_id(1)
     key = keys_ref[0, 0, :]
-    P2 = tuple(
-        [pts_ref[0, c * L + i, :] for i in range(L)] for c in range(3)
-    )
+    # unpack the affine point: limb i carries x in the low 16 bits and y in
+    # the high 16 (values < 2^12, so both halves are non-negative)
+    packed = [pts_ref[0, i, :] for i in range(L)]
+    X2 = [v & 0xFFFF for v in packed]
+    Y2 = [v >> 16 for v in packed]
+    one = [one_ref[i, 0] for i in range(L)]
+
+    def emit(cols):
+        # out block is (1, lt, 3L): one VMEM transpose per step keeps the
+        # HBM stream in row-major (position, limb) layout, so the bucket
+        # tail-piece reads downstream are contiguous 264B row gathers —
+        # not scattered element gathers over 176KB strides (measured 88ms
+        # vs ~5ms at n=2^18)
+        out_ref[0] = jnp.stack(cols).T
 
     @pl.when(r == 0)
     def _init():
-        for c in range(3):
-            for i in range(L):
-                out_ref[0, c * L + i, :] = P2[c][i]
-                acc_ref[c * L + i, :] = P2[c][i]
+        z = [jnp.broadcast_to(one[i], X2[i].shape) for i in range(L)]
+        emit(X2 + Y2 + z)
+        for i in range(L):
+            acc_ref[i, :] = X2[i]
+            acc_ref[L + i, :] = Y2[i]
+            acc_ref[2 * L + i, :] = z[i]
         key_ref[0, :] = key
 
     @pl.when(r > 0)
@@ -64,13 +82,16 @@ def _scan_kernel(p_ref, np_ref, b3_ref, keys_ref, pts_ref, out_ref,
         P1 = tuple(
             [acc_ref[c * L + i, :] for i in range(L)] for c in range(3)
         )
-        merged = _rcb15(mul, add, sub, b3, P1, P2)
+        merged = _rcb15_mixed(mul, add, sub, b3, P1, (X2, Y2))
         same = key == key_ref[0, :]
+        fresh = (X2, Y2, [jnp.broadcast_to(one[i], X2[i].shape) for i in range(L)])
+        vs = []
         for c in range(3):
             for i in range(L):
-                v = jnp.where(same, merged[c][i], P2[c][i])
-                out_ref[0, c * L + i, :] = v
+                v = jnp.where(same, merged[c][i], fresh[c][i])
                 acc_ref[c * L + i, :] = v
+                vs.append(v)
+        emit(vs)
         key_ref[0, :] = key
 
 
@@ -95,12 +116,14 @@ def _bucket_scan_jit(curve, pts_arr, keys_arr):
 
 
 def _bucket_scan_impl(curve, pts_arr, keys_arr, interpret):
-    """pts_arr: (rows, 3L, NL) sorted column-major points; keys_arr:
-    (rows, NL) sorted bucket keys.  Returns the running accumulator
-    stream, same shape as pts_arr."""
+    """pts_arr: (rows, L, NL) sorted column-major PACKED affine points
+    (x | y << 16 per limb); keys_arr: (rows, NL) sorted bucket keys.
+    Returns the projective running accumulator stream (rows, NL, 3L) —
+    row-major (position, limb) so tail reads are contiguous rows."""
     df = curve.df
     L = df.L
-    rows, threeL, nl = pts_arr.shape
+    rows, Lp, nl = pts_arr.shape
+    assert Lp == L
     lt = _lane_tile(nl)
     grid = (nl // lt, rows)
     const_spec = pl.BlockSpec(
@@ -113,22 +136,26 @@ def _bucket_scan_impl(curve, pts_arr, keys_arr, interpret):
         (1, 1, lt), lambda t, r: (r, 0, t), memory_space=pltpu.VMEM
     )
     pts_spec = pl.BlockSpec(
-        (1, threeL, lt), lambda t, r: (r, 0, t), memory_space=pltpu.VMEM
+        (1, L, lt), lambda t, r: (r, 0, t), memory_space=pltpu.VMEM
     )
+    out_spec = pl.BlockSpec(
+        (1, lt, 3 * L), lambda t, r: (r, t, 0), memory_space=pltpu.VMEM
+    )
+    one_mont = curve.ops.one_mont.astype(jnp.int32)
     return pl.pallas_call(
         _scan_kernel,
-        out_shape=jax.ShapeDtypeStruct((rows, threeL, nl), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((rows, nl, 3 * L), jnp.int32),
         grid=grid,
-        in_specs=[const_spec] * 3 + [keys_spec, pts_spec],
-        out_specs=pts_spec,
+        in_specs=[const_spec] * 4 + [keys_spec, pts_spec],
+        out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((threeL, lt), jnp.int32),
+            pltpu.VMEM((3 * L, lt), jnp.int32),
             pltpu.VMEM((1, lt), jnp.int32),
         ],
         interpret=interpret,
     )(
         df.p_limbs[:, None], df.nprime_limbs[:, None], curve.b3[:, None],
-        keys_arr[:, None, :], pts_arr,
+        one_mont[:, None], keys_arr[:, None, :], pts_arr,
     )
 
 
@@ -138,12 +165,14 @@ def bucket_accumulate_kernel(
 ):
     """Bucket sums for a tile of windows via the monolithic scan kernel.
 
-    xs/ys/zs: (n, L) point coords; keys_all: (Wt, n) bucket indices
-    (padding rides as key == nbuckets).  Returns bucket arrays
-    (Wt, nbuckets+2, L) x3 — same contract as
-    pippenger._bucket_accumulate_fused (slot nbuckets = padding sink,
-    nbuckets+1 = scratch), with lane-final leftovers ALREADY merged by
-    the caller-shared suffix-sum (we return buckets + leftover state).
+    xs/ys/zs: (n, L) point coords with z in {0, 1} per the affine input
+    contract (encode_points / identity padding); keys_all: (Wt, n) bucket
+    indices (padding rides as key == nbuckets; infinity points are
+    key-redirected to the sink here).  Returns TRANSPOSED bucket arrays
+    (L, Wt, nbuckets+2) x3 (slot nbuckets = padding sink, nbuckets+1 =
+    scratch) plus lane-final leftover state (L, Wt, cols) x3 / (Wt, cols)
+    for the caller's suffix-sum merge (pippenger._merge_leftovers_t) —
+    the pipeline stays in the limb-major layout end-to-end.
     """
     Wt, n = keys_all.shape
     L = xs.shape[-1]
@@ -151,16 +180,21 @@ def bucket_accumulate_kernel(
     rows = n // cols
     nl = Wt * cols
 
+    # infinity (z == 0) -> sink key in every window; z is 0-or-1 encoded
+    is_inf = jnp.all(zs == 0, axis=-1)  # (n,)
+    keys_all = jnp.where(is_inf[None, :], nbuckets, keys_all)
+
+    packed = jnp.bitwise_or(xs, jnp.left_shift(ys, 16))  # (n, L)
+
     order = jnp.argsort(keys_all, axis=1)  # (Wt, n)
     k = jnp.take_along_axis(keys_all, order, axis=1)
-    pts_cat = jnp.concatenate([xs, ys, zs], axis=-1)  # (n, 3L)
-    sorted_cat = pts_cat[order]  # (Wt, n, 3L)
+    sorted_p = packed[order]  # (Wt, n, L)
 
     # column-major lanes: sorted position s -> (lane s//rows, row s%rows)
     pts_arr = (
-        sorted_cat.reshape(Wt, cols, rows, 3 * L)
+        sorted_p.reshape(Wt, cols, rows, L)
         .transpose(2, 3, 0, 1)
-        .reshape(rows, 3 * L, nl)
+        .reshape(rows, L, nl)
     )
     keys_arr = (
         k.reshape(Wt, cols, rows).transpose(2, 0, 1).reshape(rows, nl)
@@ -179,28 +213,29 @@ def bucket_accumulate_kernel(
     row_idx = last % rows
     lane_idx = w_iota * cols + last // rows
 
-    # gather 264B rows from the (rows, NL, 3L) transposed stream
-    acc_t = jnp.swapaxes(acc_stream, 1, 2)  # (rows, NL, 3L)
-    vals = acc_t[row_idx, lane_idx]  # (Wt, NB, 3L)
-    ident = jnp.concatenate(
-        [
-            jnp.zeros((L,), jnp.int32),
-            curve.ops.one_mont.astype(jnp.int32),
-            jnp.zeros((L,), jnp.int32),
-        ]
+    # tail values: contiguous 264B ROW gathers from the row-major stream
+    # (the kernel emits (rows, NL, 3L)), then one small (~24MB) transpose
+    # into the pipeline's limb-major layout
+    flat_rows = acc_stream.reshape(rows * nl, 3 * L)
+    vals = flat_rows[(row_idx * nl + lane_idx).reshape(-1)].reshape(
+        Wt, nbuckets, 3 * L
     )
-    buckets_cat = jnp.where(use[..., None], vals, ident)
-    # pad sink + scratch slots with identity
-    pad = jnp.broadcast_to(ident, (Wt, 2, 3 * L))
-    buckets_cat = jnp.concatenate([buckets_cat, pad], axis=1)
-    buckets = tuple(
-        buckets_cat[..., c * L : (c + 1) * L] for c in range(3)
-    )
+    vals_t = jnp.moveaxis(vals, 2, 0)  # (3L, Wt, NB)
 
-    # --- lane-final leftovers for the caller's suffix-sum merge ---------
-    fin = acc_stream[rows - 1].reshape(3 * L, Wt, cols)
-    acc = tuple(
-        jnp.moveaxis(fin[c * L : (c + 1) * L], 0, -1) for c in range(3)
-    )  # (Wt, cols, L) x3
+    one = curve.ops.one_mont.astype(jnp.int32)
+    ident_t = jnp.concatenate(
+        [jnp.zeros((L,), jnp.int32), one, jnp.zeros((L,), jnp.int32)]
+    )[:, None, None]
+    vals_t = jnp.where(use[None], vals_t, ident_t)
+    # pad sink + scratch slots with identity
+    pad = jnp.broadcast_to(ident_t, (3 * L, Wt, 2))
+    buckets_cat = jnp.concatenate([vals_t, pad], axis=2)
+    buckets = tuple(
+        buckets_cat[c * L : (c + 1) * L] for c in range(3)
+    )  # (L, Wt, NB+2) x3
+
+    # --- lane-final leftovers: one row (12MB) transposed ----------------
+    fin = acc_stream[rows - 1].T.reshape(3 * L, Wt, cols)
+    acc = tuple(fin[c * L : (c + 1) * L] for c in range(3))
     acc_key = keys_arr[rows - 1].reshape(Wt, cols)
     return buckets, acc, acc_key

@@ -205,6 +205,158 @@ def _window_tile(n: int, W: int) -> int:
     return min(W, wt)
 
 
+# ---------------------------------------------------------------------------
+# Transposed (L, ...) layout pipeline — the TPU kernel path.
+#
+# Limbs on sublanes, batch (windows x buckets / columns) on lanes: the
+# native layout of the bucket-scan kernel's output stream.  Keeping merge,
+# reduce, and Horner in this layout kills the (N, L) <-> (L, N) transposes
+# that the jax profiler showed dominating the reduce phase (each point_add
+# call round-tripped its operands through HBM transposes).
+# ---------------------------------------------------------------------------
+
+
+def _t_add(curve, p, q):
+    """Complete addition on transposed (L, ...) coords (leading limb axis).
+
+    TPU: the fused Pallas kernel on (L, N).  Elsewhere (CPU tests): the
+    same RCB15 column composition as plain jnp ops.
+    """
+    shape = p[0].shape
+    L = shape[0]
+    p2 = tuple(a.reshape(L, -1) for a in p)
+    q2 = tuple(a.reshape(L, -1) for a in q)
+    if jax.default_backend() == "tpu":
+        from davinci_tpu.ec.pallas_add import point_add_t
+
+        out = point_add_t(curve, p2, q2)
+    else:
+        # CPU (tests): boundary transposes into the vectorized (..., L)
+        # jnp formula.  The per-limb column composition is NOT usable
+        # here — XLA:CPU's compile time on that graph shape is
+        # pathological (the same pathology behind _use_pipeline's CPU
+        # carve-out), while the DeviceField gather+dot_general form
+        # compiles fine.
+        pT = tuple(jnp.moveaxis(a, 0, -1) for a in p2)
+        qT = tuple(jnp.moveaxis(a, 0, -1) for a in q2)
+        outT = curve.add(pT, qT)
+        out = tuple(jnp.moveaxis(a, -1, 0) for a in outT)
+    return tuple(a.reshape(shape) for a in out)
+
+
+def _t_double(curve, p):
+    return _t_add(curve, p, p)
+
+
+def _t_select(cond, p, q):
+    """cond: batch-shaped (no limb axis), right-aligned broadcast against
+    the (L, ...batch) coords."""
+    return tuple(jnp.where(cond, a, b) for a, b in zip(p, q))
+
+
+def _t_identity(curve, shape):
+    L = curve.df.L
+    one = curve.ops.one_mont.astype(jnp.int32).reshape(
+        (L,) + (1,) * len(shape)
+    )
+    x = jnp.zeros((L,) + shape, jnp.int32)
+    return (x, jnp.broadcast_to(one, (L,) + shape), x)
+
+
+def _merge_leftovers_t(curve, buckets, acc, acc_key):
+    """Transposed-layout leftover merge: same algebra as _merge_leftovers.
+
+    buckets: (L, Wt, NBUCKETS+2) x3; acc: (L, Wt, cols) x3 lane-final
+    accumulators; acc_key: (Wt, cols) lane-final keys (non-decreasing)."""
+    L, Wt, cols = acc[0].shape
+    keys_l = acc_key
+    col_iota = jnp.arange(cols, dtype=jnp.int32)
+    ident_cols = _t_identity(curve, (Wt, cols))
+
+    def suffix_step(i, s):
+        stride = 1 << i
+        valid = col_iota < (cols - stride)
+        pk = jnp.where(valid[None, :], jnp.roll(keys_l, -stride, axis=1), -1)
+        ps = _t_select(
+            valid,
+            tuple(jnp.roll(a, -stride, axis=2) for a in s),
+            ident_cols,
+        )
+        same = keys_l == pk
+        return _t_select(same, _t_add(curve, s, ps), s)
+
+    s = jax.lax.fori_loop(0, max(cols.bit_length() - 1, 0), suffix_step, acc)
+
+    start = jnp.concatenate(
+        [jnp.ones((Wt, 1), bool), keys_l[:, 1:] != keys_l[:, :-1]], axis=1
+    )
+    nbp = buckets[0].shape[2]
+    w_iota = jnp.arange(Wt, dtype=jnp.int32)[:, None]
+    flat_get = (w_iota * nbp + keys_l).reshape(-1)  # (Wt*cols,)
+    cur = tuple(
+        b.reshape(L, Wt * nbp)[:, flat_get].reshape(L, Wt, cols)
+        for b in buckets
+    )
+    merged = _t_add(curve, cur, s)
+    idx = jnp.where(start, keys_l, nbp - 1)  # scratch slot absorbs non-starts
+    flat_set = (w_iota * nbp + idx).reshape(-1)
+    out = []
+    for b, v in zip(buckets, merged):
+        flat = b.reshape(L, Wt * nbp)
+        flat = flat.at[:, flat_set].set(v.reshape(L, Wt * cols), mode="drop")
+        out.append(flat.reshape(L, Wt, nbp))
+    return tuple(out)
+
+
+def _bucket_reduce_t(curve, buckets):
+    """sum_b b*S_b per window on (L, Wt, NBUCKETS+2) buckets -> (L, Wt).
+    Same suffix-scan identity as _bucket_reduce_fused, minor-axis rolls."""
+    L, Wt, nbp = buckets[0].shape
+    acc = tuple(a[:, :, :NBUCKETS] for a in buckets)
+    b_iota = jnp.arange(NBUCKETS, dtype=jnp.int32)
+    ident = _t_identity(curve, (Wt, NBUCKETS))
+
+    def suffix(i, a):
+        stride = 1 << i
+        valid = b_iota < (NBUCKETS - stride)
+        shifted = _t_select(
+            valid, tuple(jnp.roll(x, -stride, axis=2) for x in a), ident
+        )
+        return _t_add(curve, a, shifted)
+
+    acc = jax.lax.fori_loop(0, WINDOW_BITS, suffix, acc)
+    acc = _t_select(b_iota >= 1, acc, ident)
+
+    def tree(i, a):
+        s = NBUCKETS >> 1 >> i
+        rolled = tuple(jnp.roll(x, -s, axis=2) for x in a)
+        return _t_add(curve, a, rolled)
+
+    acc = jax.lax.fori_loop(0, WINDOW_BITS, tree, acc)
+    return tuple(a[:, :, 0] for a in acc)
+
+
+def _horner_t(curve, sums, W: int):
+    """Combine window sums on transposed layout.  sums: (L, W*B) with
+    window-major layout (window w, batch b) -> column w*B + b.  Returns
+    (L, B) x3."""
+    L, WB = sums[0].shape
+    B = WB // W
+    total = tuple(s[:, (W - 1) * B : W * B] for s in sums)
+
+    def step(j, tot):
+        tot = jax.lax.fori_loop(
+            0, WINDOW_BITS, lambda _, t: _t_double(curve, t), tot
+        )
+        start = (W - 1 - j) * B
+        nxt = tuple(
+            jax.lax.dynamic_slice_in_dim(s, start, B, axis=1) for s in sums
+        )
+        return _t_add(curve, tot, nxt)
+
+    return jax.lax.fori_loop(1, W, step, total)
+
+
 def _horner(curve, sums, W):
     """Combine window sums: total = sum_j 2^(12 j) * S_j (Horner, MSB down).
     sums: tuple of (W, ...) arrays."""
@@ -244,6 +396,7 @@ def _use_scan_kernel(curve) -> bool:
 
 
 def _window_sums_tile_kernel(curve, xs, ys, zs, keys_all, interpret=False):
+    """Kernel-path window sums — returns TRANSPOSED (L, Wt) x3 sums."""
     from davinci_tpu.msm.bucket_kernel import bucket_accumulate_kernel
 
     if interpret:
@@ -251,14 +404,14 @@ def _window_sums_tile_kernel(curve, xs, ys, zs, keys_all, interpret=False):
         buckets, acc, acc_key = bucket_accumulate_kernel(
             curve, xs, ys, zs, keys_all, COLS, NBUCKETS, True
         )
-        return _merge_reduce_jit(curve, buckets, acc, acc_key)
+        return _merge_reduce_t_jit(curve, buckets, acc, acc_key)
     return _window_sums_tile_kernel_jit(curve, xs, ys, zs, keys_all)
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def _merge_reduce_jit(curve, buckets, acc, acc_key):
-    return _bucket_reduce_fused(
-        curve, _merge_leftovers(curve, buckets, acc, acc_key)
+def _merge_reduce_t_jit(curve, buckets, acc, acc_key):
+    return _bucket_reduce_t(
+        curve, _merge_leftovers_t(curve, buckets, acc, acc_key)
     )
 
 
@@ -269,13 +422,18 @@ def _window_sums_tile_kernel_jit(curve, xs, ys, zs, keys_all):
     buckets, acc, acc_key = bucket_accumulate_kernel(
         curve, xs, ys, zs, keys_all, COLS, NBUCKETS, False
     )
-    buckets = _merge_leftovers(curve, buckets, acc, acc_key)
-    return _bucket_reduce_fused(curve, buckets)
+    buckets = _merge_leftovers_t(curve, buckets, acc, acc_key)
+    return _bucket_reduce_t(curve, buckets)
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def _horner_jit(curve, sums, W: int):
     return _horner(curve, sums, W)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _horner_t_jit(curve, sums, W: int):
+    return _horner_t(curve, sums, W)
 
 
 def _pad_inputs(curve, xs, ys, zs, scalar_limbs, multiple: int | None = None):
@@ -358,12 +516,16 @@ def msm(curve, points, scalar_limbs):
         tile_fn = functools.partial(
             _window_sums_tile_kernel, interpret=interp
         )
-    else:
-        tile_fn = _window_sums_tile
+        sums = []
+        for w0 in range(0, W, wt):
+            sums.append(tile_fn(curve, xs, ys, zs, keys_all[w0 : w0 + wt]))
+        sums = tuple(jnp.concatenate(parts, axis=1) for parts in zip(*sums))
+        out = _horner_t_jit(curve, sums, W)  # (L, 1) x3
+        return tuple(a[:, 0] for a in out)
     sums = []
     for w0 in range(0, W, wt):
         tile = keys_all[w0 : w0 + wt]
-        sums.append(tile_fn(curve, xs, ys, zs, tile))
+        sums.append(_window_sums_tile(curve, xs, ys, zs, tile))
     sums = tuple(jnp.concatenate(parts, axis=0) for parts in zip(*sums))
     return _horner_jit(curve, sums, W)
 
@@ -392,6 +554,7 @@ def msm_many(curve, points, scalar_limbs):
     xs, ys, zs, flat = _pad_inputs(curve, xs, ys, zs, flat)
     n = flat.shape[0]
     keys_all = flat.T  # (M*W, n)
+    wt = _window_tile(n, M * W)
     if _use_scan_kernel(curve):
         import os
 
@@ -399,12 +562,21 @@ def msm_many(curve, points, scalar_limbs):
         tile_fn = functools.partial(
             _window_sums_tile_kernel, interpret=interp
         )
-    else:
-        tile_fn = _window_sums_tile
-    wt = _window_tile(n, M * W)
+        sums = []
+        for w0 in range(0, M * W, wt):
+            sums.append(tile_fn(curve, xs, ys, zs, keys_all[w0 : w0 + wt]))
+        # (L, M*W) batch-major (m*W + w) -> window-major (w*M + m)
+        L = sums[0][0].shape[0]
+        sums = tuple(jnp.concatenate(parts, axis=1) for parts in zip(*sums))
+        sums = tuple(
+            jnp.swapaxes(s.reshape(L, M, W), 1, 2).reshape(L, W * M)
+            for s in sums
+        )
+        out = _horner_t_jit(curve, sums, W)  # (L, M) x3
+        return tuple(a.T for a in out)
     sums = []
     for w0 in range(0, M * W, wt):
-        sums.append(tile_fn(curve, xs, ys, zs, keys_all[w0 : w0 + wt]))
+        sums.append(_window_sums_tile(curve, xs, ys, zs, keys_all[w0 : w0 + wt]))
     sums = tuple(jnp.concatenate(parts, axis=0) for parts in zip(*sums))
     # (M*W, ...) -> (W, M, ...): Horner broadcasts over the M batch axis
     sums = tuple(
@@ -480,9 +652,24 @@ def sharded_msm(curve, points, scalar_limbs, mesh, axis_name="shard"):
                 buckets, acc, acc_key = bucket_accumulate_kernel(
                     curve, xs, ys, zs, sl.T, COLS, NBUCKETS, interp
                 )
-                buckets = _merge_leftovers(curve, buckets, acc, acc_key)
-            else:
-                buckets = _bucket_accumulate_fused(curve, xs, ys, zs, sl.T)
+                buckets = _merge_leftovers_t(curve, buckets, acc, acc_key)
+                # local bucket arrays are tiny vs the point shard: gather
+                # them over ICI and fold with point adds on every device
+                gathered = jax.lax.all_gather(buckets, axis_name)
+
+                def fold_t(d, a):
+                    nxt = tuple(
+                        jax.lax.dynamic_index_in_dim(g, d, 0, keepdims=False)
+                        for g in gathered
+                    )
+                    return _t_add(curve, a, nxt)
+
+                accum = tuple(g[0] for g in gathered)
+                accum = jax.lax.fori_loop(1, ndev, fold_t, accum)
+                sums = _bucket_reduce_t(curve, accum)
+                out = _horner_t(curve, sums, W)
+                return tuple(a[:, 0] for a in out)
+            buckets = _bucket_accumulate_fused(curve, xs, ys, zs, sl.T)
             gathered = jax.lax.all_gather(buckets, axis_name)
             acc = _fold_gathered(gathered)
             sums = _bucket_reduce_fused(curve, acc)

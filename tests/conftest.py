@@ -16,7 +16,8 @@ os.environ["XLA_FLAGS"] = (
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("RUN_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: MSM/Groth16 graphs are compile-heavy; caching
 # across test runs turns minutes of XLA time into milliseconds.

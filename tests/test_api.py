@@ -147,5 +147,12 @@ def test_http_transport(env):
         with urllib.request.urlopen(req) as resp:
             out = json.loads(resp.read())
         assert out["status"] == "pending"
+
+        # static dashboard (reference api/api.go:29-32 /app webapp role)
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/app") as resp:
+            assert resp.headers["Content-Type"].startswith("text/html")
+            page = resp.read().decode()
+        assert "davinci-tpu sequencer" in page
+        assert "/sequencer/stats" in page
     finally:
         server.shutdown()

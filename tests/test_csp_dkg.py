@@ -21,6 +21,33 @@ def test_eddsa_sign_verify():
     assert BabyJubJubEdDSA(b"seed-2").public != signer.public
 
 
+def test_eddsa_iden3_key_parity():
+    """Blake-512 key schedule matches go-iden3-crypto babyjub exactly:
+    the babyjub_test.go reference private key maps to the published
+    public key (the keypair the reference's CSP would derive,
+    crypto/csp/eddsa/babyjubjub_eddsa.go via babyjub.PrivateKey)."""
+    raw = bytes.fromhex(
+        "0001020304050607080900010203040506070809000102030405060708090001"
+    )
+    signer = BabyJubJubEdDSA(b"", raw_key=raw)
+    assert signer.public[0] == int(
+        "13277427435165878497778222415993513565335242147425444199013288"
+        "855685581939618"
+    )
+    assert signer.public[1] == int(
+        "13622229784656158136036771217484571176836296686641868549125388"
+        "198837476602820"
+    )
+    # blake-512 itself against the official submission vectors
+    from davinci_tpu.hash.blake512 import blake512
+
+    assert blake512(b"\x00").hex().startswith("97961587f6d970faba6d2478")
+    assert blake512(bytes(144)).hex().startswith("313717d608e9cf758dcb1eb0")
+    msg = 1234567890
+    sig = signer.sign(msg)
+    assert BabyJubJubEdDSA.verify(signer.public, msg, sig)
+
+
 def test_csp_proof_roundtrip():
     signer = BabyJubJubEdDSA(b"csp-seed")
     proof = signer.generate_proof(process_id=77, address=0xABC, weight=3)

@@ -106,6 +106,32 @@ def test_gather_bucket_positions():
 
 
 @pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW_TESTS"),
+    reason="interpret-mode bucket-scan kernel is slow; set RUN_SLOW_TESTS=1",
+)
+def test_scan_kernel_interpret_matches_oracle(small_cols, monkeypatch):
+    """The packed-affine bucket-scan kernel (mixed adds, infinity key
+    redirect) in interpret mode on the toy curve — the off-TPU correctness
+    net for the production kernel path."""
+    monkeypatch.setenv("DAVINCI_MSM_KERNEL", "interpret")
+    monkeypatch.setattr(pp, "COLS", 32)
+    from davinci_tpu.circuits.toycurve import toy_bls12
+
+    spec = toy_bls12()["g1"]
+    r = random.Random(5)
+    n = 64
+    pts = [spec.gen.mul(r.randrange(1, spec.r)) for _ in range(n)]
+    pts[5] = spec.infinity()  # infinity -> sink-key redirect path
+    scalars = [r.randrange(spec.r) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = 1
+    scalars[2] = spec.r - 1
+    for i in range(8, 24):
+        scalars[i] = scalars[8]
+    _run_case(spec, scalars, pts)
+
+
+@pytest.mark.skipif(
     not os.environ.get("RUN_TPU_TESTS"),
     reason="monolithic bucket-scan kernel needs the real TPU (interpret "
     "mode is impractically slow); bench.py asserts the same oracle "
@@ -139,11 +165,17 @@ def test_pipeline_sharded_msm_matches(small_cols):
     r = random.Random(91)
     n = 64 * 8
     pts = [spec.gen.mul(r.randrange(1, spec.r)) for _ in range(n)]
-    scalars = [r.randrange(spec.r) for _ in range(n)]
+    # 48-bit scalars: 4 of the 22 windows.  The full-width bucket reduce
+    # on 8 virtual CPU devices is minutes of pure execution and trips
+    # XLA's collective-rendezvous watchdog (flaky SIGABRT under load);
+    # window count doesn't change the code under test (per-window graphs
+    # are shape-identical), and full-width scalars are covered by the
+    # single-device oracle test above.
+    scalars = [r.randrange(1 << 48) for _ in range(n)]
     scalars[0] = 0
 
     P = dc.encode_points(pts)
-    S = jnp.asarray(scalars_to_limbs(spec, scalars))
+    S = jnp.asarray(scalars_to_limbs(spec, scalars)[:, :4].copy())
     out = sharded_msm(dc, P, S, mesh)
     got = dc.decode_points(tuple(a[None] for a in out))[0]
     assert got == _host_msm(spec, pts, scalars)
