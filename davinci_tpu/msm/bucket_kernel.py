@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from davinci_tpu.ec.pallas_add import _make_field_ops, _rcb15_mixed
+from davinci_tpu.ec.pallas_add import _make_field_ops, _rcb15, _rcb15_mixed
 
 
 def _scan_kernel(p_ref, np_ref, b3_ref, one_ref, keys_ref, pts_ref, out_ref,
@@ -276,3 +276,143 @@ def bucket_accumulate_kernel(
     acc = tuple(fin[c * L : (c + 1) * L] for c in range(3))
     acc_key = keys_arr[rows - 1].reshape(Wt, cols)
     return buckets, acc, acc_key
+
+
+# ---------------------------------------------------------------------------
+# Monolithic bucket-reduce kernel
+#
+# sum_b b*S_b per window, decomposed as b = k*C + c:
+#   T_w = C * sum_c B_c + sum_c c * A_c,
+# with per-lane partials A_c = sum_k S_{k,c} (plain column sums) and
+# B_c = sum_k k*S_{k,c} (computed as a running suffix: iterating k from
+# K-1 down, run += S_k then B += run — 2 complete adds per bucket, the
+# optimal count, with NO HBM round-trips between passes).  The XLA
+# roll/select Hillis-Steele composition this replaces spent ~60% of the
+# reduce phase moving the (L, Wt, 4096) bucket arrays between passes.
+# The small cross-lane combine over C lanes stays in XLA
+# (pippenger._bucket_reduce_t).
+# ---------------------------------------------------------------------------
+
+REDUCE_C = 256  # lanes per window chunk (K = NB / C sequential rows)
+REDUCE_WT = 16  # window tile on sublanes
+
+
+def _reduce_kernel(p_ref, np_ref, b3_ref, one_ref, sx_ref, sy_ref, sz_ref,
+                   ax_ref, ay_ref, az_ref, bx_ref, by_ref, bz_ref,
+                   run_ref, bacc_ref):
+    L = p_ref.shape[0]
+    k = pl.program_id(1)
+    K = pl.num_programs(1)
+    p_cols = [p_ref[i, 0] for i in range(L)]
+    np_cols = [np_ref[i, 0] for i in range(L)]
+    b3 = [b3_ref[i, 0] for i in range(L)]
+    mul, add, sub = _make_field_ops(p_cols, np_cols, L)
+    S = tuple([r[i] for i in range(L)] for r in (sx_ref, sy_ref, sz_ref))
+
+    @pl.when(k == 0)
+    def _init():
+        zero = jnp.zeros_like(sx_ref[0])
+        for i in range(L):
+            onei = jnp.broadcast_to(one_ref[i, 0], zero.shape)
+            for ref in (run_ref, bacc_ref):
+                ref[i] = zero
+                ref[L + i] = onei
+                ref[2 * L + i] = zero
+
+    # run = suffix(K-1-k): the input index map feeds blocks high-k first
+    P1 = tuple([run_ref[c * L + i] for i in range(L)] for c in range(3))
+    run = _rcb15(mul, add, sub, b3, P1, S)
+    for c in range(3):
+        for i in range(L):
+            run_ref[c * L + i] = run[c][i]
+
+    @pl.when(k < K - 1)  # suffix(j) for j = K-1 .. 1 accumulates into B
+    def _accumulate_b():
+        PB = tuple(
+            [bacc_ref[c * L + i] for i in range(L)] for c in range(3)
+        )
+        nb = _rcb15(mul, add, sub, b3, PB, run)
+        for c in range(3):
+            for i in range(L):
+                bacc_ref[c * L + i] = nb[c][i]
+
+    @pl.when(k == K - 1)
+    def _emit():
+        for i in range(L):
+            ax_ref[i] = run_ref[i]
+            ay_ref[i] = run_ref[L + i]
+            az_ref[i] = run_ref[2 * L + i]
+            bx_ref[i] = bacc_ref[i]
+            by_ref[i] = bacc_ref[L + i]
+            bz_ref[i] = bacc_ref[2 * L + i]
+
+
+def bucket_reduce_kernel(curve, buckets, interpret=False):
+    """Per-lane reduce partials for (L, Wt, NB) x3 bucket arrays (sink and
+    scratch slots already stripped; NB a power of two).
+
+    Returns (A, B): (L, Wt, C) x3 each with
+      T_w = C * sum_c B[:, w, c] + sum_c c * A[:, w, c].
+    The caller performs that small cross-lane combine (width C) with the
+    existing XLA suffix/tree passes."""
+    if interpret:
+        return _bucket_reduce_impl(curve, buckets, True)
+    return _bucket_reduce_kernel_jit(curve, buckets)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _bucket_reduce_kernel_jit(curve, buckets):
+    return _bucket_reduce_impl(curve, buckets, False)
+
+
+def _bucket_reduce_impl(curve, buckets, interpret):
+    df = curve.df
+    L = df.L
+    Lb, Wt, NB = buckets[0].shape
+    assert Lb == L and NB & (NB - 1) == 0
+    C = REDUCE_C if NB % REDUCE_C == 0 else NB
+    K = NB // C
+    wt = min(REDUCE_WT, Wt)
+    if Wt % wt:
+        one = curve.ops.one_mont.astype(jnp.int32)
+        pad_n = wt - Wt % wt
+        zero = jnp.zeros((L, pad_n, NB), jnp.int32)
+        onep = jnp.broadcast_to(one[:, None, None], (L, pad_n, NB))
+        buckets = (
+            jnp.concatenate([buckets[0], zero], axis=1),
+            jnp.concatenate([buckets[1], onep], axis=1),
+            jnp.concatenate([buckets[2], zero], axis=1),
+        )
+    Wp = buckets[0].shape[1]
+    grid = (Wp // wt, K)
+    const_spec = pl.BlockSpec(
+        (L, 1), lambda t, k: (0, 0), memory_space=pltpu.VMEM
+    )
+    in_spec = pl.BlockSpec(
+        (L, wt, C),
+        lambda t, k, K=K: (0, t, K - 1 - k),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (L, wt, C), lambda t, k: (0, t, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((L, Wp, C), jnp.int32)
+    one_mont = curve.ops.one_mont.astype(jnp.int32)
+    outs = pl.pallas_call(
+        _reduce_kernel,
+        out_shape=(shape,) * 6,
+        grid=grid,
+        in_specs=[const_spec] * 4 + [in_spec] * 3,
+        out_specs=(out_spec,) * 6,
+        scratch_shapes=[
+            pltpu.VMEM((3 * L, wt, C), jnp.int32),
+            pltpu.VMEM((3 * L, wt, C), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        df.p_limbs[:, None], df.nprime_limbs[:, None], curve.b3[:, None],
+        one_mont[:, None], *buckets,
+    )
+    A = tuple(o[:, :Wt] for o in outs[:3])
+    B = tuple(o[:, :Wt] for o in outs[3:])
+    return A, B

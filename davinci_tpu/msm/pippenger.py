@@ -310,7 +310,21 @@ def _merge_leftovers_t(curve, buckets, acc, acc_key):
 
 def _bucket_reduce_t(curve, buckets):
     """sum_b b*S_b per window on (L, Wt, NBUCKETS+2) buckets -> (L, Wt).
-    Same suffix-scan identity as _bucket_reduce_fused, minor-axis rolls."""
+
+    TPU: the monolithic Pallas reduce kernel computes per-lane partials
+    (2 complete adds per bucket, VMEM-resident) and only the small width-C
+    cross-lane combine runs as XLA passes here.  Elsewhere: the full
+    suffix-scan identity of _bucket_reduce_fused on minor-axis rolls."""
+    if _use_scan_kernel(curve) and (NBUCKETS & (NBUCKETS - 1)) == 0:
+        import os
+
+        from davinci_tpu.msm.bucket_kernel import bucket_reduce_kernel
+
+        interp = os.environ.get("DAVINCI_MSM_KERNEL") == "interpret"
+        A, B = bucket_reduce_kernel(
+            curve, tuple(b[:, :, :NBUCKETS] for b in buckets), interp
+        )
+        return _reduce_combine_t(curve, A, B)
     L, Wt, nbp = buckets[0].shape
     acc = tuple(a[:, :, :NBUCKETS] for a in buckets)
     b_iota = jnp.arange(NBUCKETS, dtype=jnp.int32)
@@ -334,6 +348,41 @@ def _bucket_reduce_t(curve, buckets):
 
     acc = jax.lax.fori_loop(0, WINDOW_BITS, tree, acc)
     return tuple(a[:, :, 0] for a in acc)
+
+
+def _reduce_combine_t(curve, A, B):
+    """Cross-lane combine of the reduce kernel's per-lane partials:
+    T_w = C * sum_c B_c + sum_c c*A_c on (L, Wt, C) x3 arrays -> (L, Wt).
+    Width C is small (bucket_kernel.REDUCE_C), so these XLA passes touch
+    ~NBUCKETS/K-sized arrays instead of the full bucket set."""
+    L, Wt, Cw = A[0].shape
+    nbits = Cw.bit_length() - 1  # Cw is a power of two
+    c_iota = jnp.arange(Cw, dtype=jnp.int32)
+    ident = _t_identity(curve, (Wt, Cw))
+
+    # sum_c c*A_c == sum_{c>=1} suffix(c): Hillis-Steele suffix + mask c=0
+    def suffix(i, a):
+        stride = 1 << i
+        valid = c_iota < (Cw - stride)
+        shifted = _t_select(
+            valid, tuple(jnp.roll(x, -stride, axis=2) for x in a), ident
+        )
+        return _t_add(curve, a, shifted)
+
+    acc = jax.lax.fori_loop(0, nbits, suffix, A)
+    acc = _t_select(c_iota >= 1, acc, ident)
+
+    def tree(i, a):
+        s = Cw >> 1 >> i
+        rolled = tuple(jnp.roll(x, -s, axis=2) for x in a)
+        return _t_add(curve, a, rolled)
+
+    wA = tuple(a[:, :, 0] for a in jax.lax.fori_loop(0, nbits, tree, acc))
+    sumB = tuple(a[:, :, 0] for a in jax.lax.fori_loop(0, nbits, tree, B))
+    CB = jax.lax.fori_loop(
+        0, nbits, lambda _, t: _t_double(curve, t), sumB
+    )
+    return _t_add(curve, CB, wA)
 
 
 def _horner_t(curve, sums, W: int):
