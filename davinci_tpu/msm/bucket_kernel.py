@@ -171,6 +171,7 @@ def _bucket_scan_impl(curve, pts_arr, keys_arr, interpret):
             pltpu.VMEM((3 * L, lt), jnp.int32),
             pltpu.VMEM((1, lt), jnp.int32),
         ],
+        compiler_params=None if interpret else _VMEM_LIMIT,
         interpret=interpret,
     )(
         df.p_limbs[:, None], df.nprime_limbs[:, None], curve.b3[:, None],
@@ -296,6 +297,13 @@ def bucket_accumulate_kernel(
 REDUCE_C = 256  # lanes per window chunk (K = NB / C sequential rows)
 REDUCE_WT = 16  # window tile on sublanes
 
+# Mosaic's default scoped-VMEM check is 16 MiB; the reduce kernel's
+# 6 double-buffered output blocks + 2 projective scratch accumulators
+# total ~17 MiB at (wt=16, C=256), which OOMs the driver's v5e run
+# (BENCH_r02).  The chip has 128 MiB of VMEM — raise the limit rather
+# than shrink the tile (smaller tiles measured slower end-to-end).
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _reduce_kernel(p_ref, np_ref, b3_ref, one_ref, sx_ref, sy_ref, sz_ref,
                    ax_ref, ay_ref, az_ref, bx_ref, by_ref, bz_ref,
@@ -408,6 +416,7 @@ def _bucket_reduce_impl(curve, buckets, interpret):
             pltpu.VMEM((3 * L, wt, C), jnp.int32),
             pltpu.VMEM((3 * L, wt, C), jnp.int32),
         ],
+        compiler_params=None if interpret else _VMEM_LIMIT,
         interpret=interpret,
     )(
         df.p_limbs[:, None], df.nprime_limbs[:, None], curve.b3[:, None],
