@@ -241,12 +241,18 @@ def bucket_accumulate_kernel(
     acc_stream = _bucket_scan(curve, pts_arr, keys_arr, interpret)
 
     # --- bucket tail-piece positions from the sorted keys alone ---------
+    # binary search on the already-sorted keys (O(NB log n) gathers)
+    # instead of a scatter-add histogram (O(n*Wt) serialized updates —
+    # measured 80+ ms of the epilogue at n=2^18)
     w_iota = jnp.arange(Wt, dtype=jnp.int32)[:, None]
-    counts = jnp.zeros((Wt, nbuckets + 1), jnp.int32).at[
-        w_iota, jnp.minimum(k, nbuckets)
-    ].add(1)
-    ends = jnp.cumsum(counts[:, :nbuckets], axis=1)  # (Wt, NB) exclusive
-    use = (counts[:, :nbuckets] > 0) & (ends % rows != 0)
+    b_iota = jnp.arange(nbuckets, dtype=jnp.int32)
+    ends = jax.vmap(
+        lambda kk: jnp.searchsorted(kk, b_iota, side="right")
+    )(k).astype(jnp.int32)  # (Wt, NB): # keys <= b
+    starts = jax.vmap(
+        lambda kk: jnp.searchsorted(kk, b_iota, side="left")
+    )(k).astype(jnp.int32)  # (Wt, NB): # keys < b
+    use = (ends > starts) & (ends % rows != 0)
     last = jnp.maximum(ends - 1, 0)
     row_idx = last % rows
     lane_idx = w_iota * cols + last // rows
