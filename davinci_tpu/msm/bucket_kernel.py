@@ -226,14 +226,18 @@ def bucket_accumulate_kernel(
 
     order = jnp.argsort(keys_all, axis=1)  # (Wt, n)
     k = jnp.take_along_axis(keys_all, order, axis=1)
-    sorted_p = packed[order]  # (Wt, n, LP)
 
-    # column-major lanes: sorted position s -> (lane s//rows, row s%rows)
-    pts_arr = (
-        sorted_p.reshape(Wt, cols, rows, LP)
-        .transpose(2, 3, 0, 1)
-        .reshape(rows, LP, nl)
+    # column-major lanes: sorted position s -> (lane s//rows, row s%rows).
+    # The permutation is applied to the 23MB INDEX array so the 390MB
+    # payload gather lands directly in the kernel's row-major stream order
+    # with only a minor-axis swap left.  Measured e2e-equivalent to the
+    # gather-then-relayout composite (XLA fuses that permute into the
+    # gather); kept for the simpler fusion graph.  The gather itself is
+    # the floor: ~89ms for 5.8M random 68B rows (scripts/gather_probe.py).
+    order2 = (
+        order.reshape(Wt, cols, rows).transpose(2, 0, 1).reshape(rows, nl)
     )
+    pts_arr = jnp.swapaxes(packed[order2], 1, 2)  # (rows, LP, nl)
     keys_arr = (
         k.reshape(Wt, cols, rows).transpose(2, 0, 1).reshape(rows, nl)
     )
@@ -241,17 +245,20 @@ def bucket_accumulate_kernel(
     acc_stream = _bucket_scan(curve, pts_arr, keys_arr, interpret)
 
     # --- bucket tail-piece positions from the sorted keys alone ---------
-    # binary search on the already-sorted keys (O(NB log n) gathers)
-    # instead of a scatter-add histogram (O(n*Wt) serialized updates —
-    # measured 80+ ms of the epilogue at n=2^18)
+    # ONE searchsorted per window (method="sort": one fused sort pass —
+    # the default binary-search lowering AND a scatter-add histogram both
+    # measured 80-95ms of the epilogue at n=2^18); keys are ints, so
+    # starts[b] = # keys < b = ends[b-1]
     w_iota = jnp.arange(Wt, dtype=jnp.int32)[:, None]
     b_iota = jnp.arange(nbuckets, dtype=jnp.int32)
     ends = jax.vmap(
-        lambda kk: jnp.searchsorted(kk, b_iota, side="right")
+        lambda kk: jnp.searchsorted(
+            kk, b_iota, side="right", method="sort"
+        )
     )(k).astype(jnp.int32)  # (Wt, NB): # keys <= b
-    starts = jax.vmap(
-        lambda kk: jnp.searchsorted(kk, b_iota, side="left")
-    )(k).astype(jnp.int32)  # (Wt, NB): # keys < b
+    starts = jnp.concatenate(
+        [jnp.zeros((Wt, 1), jnp.int32), ends[:, :-1]], axis=1
+    )
     use = (ends > starts) & (ends % rows != 0)
     last = jnp.maximum(ends - 1, 0)
     row_idx = last % rows
@@ -302,6 +309,225 @@ def bucket_accumulate_kernel(
 
 REDUCE_C = 256  # lanes per window chunk (K = NB / C sequential rows)
 REDUCE_WT = 16  # window tile on sublanes
+
+
+# ---------------------------------------------------------------------------
+# Sequential suffix-reduce kernel: A = sum_k S_k and B = sum_k k*S_k over
+# the leading axis of (K, 3L, M) point columns, one kernel launch.  Used
+# for the reduce CROSS-LANE COMBINE: the Hillis-Steele suffix + tree +
+# doubling XLA composition it replaces cost ~29ms/MSM in point-add kernel
+# launches and HBM round-trips on (L, Wt, 256) arrays.
+# ---------------------------------------------------------------------------
+
+
+def _suffix_reduce_kernel(p_ref, np_ref, b3_ref, one_ref, s_ref,
+                          a_ref, b_ref, run_ref, bacc_ref):
+    L = p_ref.shape[0]
+    k = pl.program_id(0)
+    K = pl.num_programs(0)
+    p_cols = [p_ref[i, 0] for i in range(L)]
+    np_cols = [np_ref[i, 0] for i in range(L)]
+    b3 = [b3_ref[i, 0] for i in range(L)]
+    mul, add, sub = _make_field_ops(p_cols, np_cols, L)
+    S = tuple(
+        [s_ref[0, c * L + i] for i in range(L)] for c in range(3)
+    )
+
+    @pl.when(k == 0)
+    def _init():
+        zero = jnp.zeros_like(s_ref[0, 0])
+        for i in range(L):
+            onei = jnp.broadcast_to(one_ref[i, 0], zero.shape)
+            for ref in (run_ref, bacc_ref):
+                ref[i] = zero
+                ref[L + i] = onei
+                ref[2 * L + i] = zero
+
+    # run = suffix(K-1-k): the index map feeds blocks high-k first
+    P1 = tuple([run_ref[c * L + i] for i in range(L)] for c in range(3))
+    run = _rcb15(mul, add, sub, b3, P1, S)
+    for c in range(3):
+        for i in range(L):
+            run_ref[c * L + i] = run[c][i]
+
+    @pl.when(k < K - 1)  # suffix(j), j = K-1..1 accumulates into B
+    def _accumulate_b():
+        PB = tuple(
+            [bacc_ref[c * L + i] for i in range(L)] for c in range(3)
+        )
+        nb = _rcb15(mul, add, sub, b3, PB, run)
+        for c in range(3):
+            for i in range(L):
+                bacc_ref[c * L + i] = nb[c][i]
+
+    @pl.when(k == K - 1)
+    def _emit():
+        for i in range(3 * L):
+            a_ref[i] = run_ref[i]
+            b_ref[i] = bacc_ref[i]
+
+
+def suffix_reduce_kernel(curve, s, interpret: bool = False):
+    """s: (K, 3L, M) int32 (M a multiple of 128).  Returns (A, B), each
+    (3L, M): A = sum_k s_k, B = sum_k k*s_k (complete point adds).
+
+    Interpret mode is also jitted: eagerly interpreting the in-kernel
+    fori bodies is minutes of per-op dispatch even at toy sizes, while
+    the jitted interpreted grid is small enough to compile fine (unlike
+    the scan kernel's)."""
+    return _suffix_reduce_jit(curve, s, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _suffix_reduce_jit(curve, s, interpret=False):
+    return _suffix_reduce_impl(curve, s, interpret)
+
+
+def _suffix_reduce_impl(curve, s, interpret):
+    df = curve.df
+    L = df.L
+    K, L3, M = s.shape
+    assert L3 == 3 * L and M % 128 == 0
+    const_spec = pl.BlockSpec(
+        (L, 1), lambda k: (0, 0), memory_space=pltpu.VMEM
+    )
+    s_spec = pl.BlockSpec(
+        (1, 3 * L, M), lambda k, K=K: (K - 1 - k, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (3 * L, M), lambda k: (0, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((3 * L, M), jnp.int32)
+    one_mont = curve.ops.one_mont.astype(jnp.int32)
+    return pl.pallas_call(
+        _suffix_reduce_kernel,
+        out_shape=(shape, shape),
+        grid=(K,),
+        in_specs=[const_spec] * 4 + [s_spec],
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[
+            pltpu.VMEM((3 * L, M), jnp.int32),
+            pltpu.VMEM((3 * L, M), jnp.int32),
+        ],
+        compiler_params=None if interpret else _VMEM_LIMIT,
+        interpret=interpret,
+    )(
+        df.p_limbs[:, None], df.nprime_limbs[:, None], curve.b3[:, None],
+        one_mont[:, None], s,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monolithic Horner kernel
+#
+# total = sum_w 2^(WINDOW_BITS * w) S_w via MSB-first Horner.  The XLA
+# composition launched 13 point-add kernels per window (12 doublings + 1
+# add) on tiny (L, B) arrays — ~0.1ms launch/HBM overhead each, ~29ms of
+# the 260ms budget at W=22.  Here the accumulator lives in VMEM scratch
+# across a (W,) sequential grid; each step DMAs just its window's (L, B)
+# sum block (index-map selected) and runs the doublings as an in-kernel
+# fori_loop — one kernel launch total.
+# ---------------------------------------------------------------------------
+
+
+def _horner_kernel(p_ref, np_ref, b3_ref, s_ref, out_ref, tot_ref, *, wbits):
+    L = p_ref.shape[0]
+    j = pl.program_id(0)
+    W = pl.num_programs(0)
+    p_cols = [p_ref[i, 0] for i in range(L)]
+    np_cols = [np_ref[i, 0] for i in range(L)]
+    b3 = [b3_ref[i, 0] for i in range(L)]
+    mul, add, sub = _make_field_ops(p_cols, np_cols, L)
+    S = tuple(
+        [s_ref[0, c * L + i] for i in range(L)] for c in range(3)
+    )
+
+    @pl.when(j == 0)
+    def _init():
+        for c in range(3):
+            for i in range(L):
+                tot_ref[c * L + i] = S[c][i]
+
+    @pl.when(j > 0)
+    def _step():
+        def dbl(_, t):
+            flat = _rcb15(
+                mul, add, sub, b3,
+                (t[:L], t[L : 2 * L], t[2 * L :]),
+                (t[:L], t[L : 2 * L], t[2 * L :]),
+            )
+            return tuple(flat[0] + flat[1] + flat[2])
+
+        t0 = tuple(tot_ref[i] for i in range(3 * L))
+        td = jax.lax.fori_loop(0, wbits, dbl, t0)
+        nxt = _rcb15(
+            mul, add, sub, b3,
+            (list(td[:L]), list(td[L : 2 * L]), list(td[2 * L :])),
+            S,
+        )
+        for c in range(3):
+            for i in range(L):
+                tot_ref[c * L + i] = nxt[c][i]
+
+    @pl.when(j == W - 1)
+    def _emit():
+        for i in range(3 * L):
+            out_ref[i] = tot_ref[i]
+
+
+def horner_kernel(curve, sums, W: int, interpret: bool = False):
+    """Window combine on transposed sums.  sums: (L, W*B) x3 window-major
+    (window w, batch b at column w*B + b).  Returns (L, B) x3.
+    Interpret mode is jitted too (see suffix_reduce_kernel)."""
+    return _horner_kernel_jit(curve, sums, W, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _horner_kernel_jit(curve, sums, W, interpret=False):
+    return _horner_impl(curve, sums, W, interpret)
+
+
+def _horner_impl(curve, sums, W, interpret):
+    from davinci_tpu.fields import LIMB_BITS
+
+    df = curve.df
+    L = df.L
+    WB = sums[0].shape[1]
+    B = WB // W
+    Bp = -(-B // 128) * 128
+    # (L, W*B) x3 -> (W, 3L, Bp): window on the major axis so each grid
+    # step's BlockSpec fetches one window's block; MSB-first order.
+    # Coordinate-major rows (X limbs, then Y, then Z) match the kernel's
+    # s_ref[0, c*L + i] reads.
+    arr = jnp.concatenate(sums, axis=0).reshape(3 * L, W, B)
+    arr = jnp.swapaxes(arr, 0, 1)  # (W, 3L, B)
+    if Bp != B:
+        arr = jnp.pad(arr, ((0, 0), (0, 0), (0, Bp - B)))
+    arr = arr[::-1]  # grid step j consumes window W-1-j
+
+    const_spec = pl.BlockSpec(
+        (L, 1), lambda j: (0, 0), memory_space=pltpu.VMEM
+    )
+    s_spec = pl.BlockSpec(
+        (1, 3 * L, Bp), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (3 * L, Bp), lambda j: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_horner_kernel, wbits=LIMB_BITS),
+        out_shape=jax.ShapeDtypeStruct((3 * L, Bp), jnp.int32),
+        grid=(W,),
+        in_specs=[const_spec] * 3 + [s_spec],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((3 * L, Bp), jnp.int32)],
+        compiler_params=None if interpret else _VMEM_LIMIT,
+        interpret=interpret,
+    )(
+        df.p_limbs[:, None], df.nprime_limbs[:, None], curve.b3[:, None], arr
+    )
+    return tuple(out[c * L : (c + 1) * L, :B] for c in range(3))
 
 # Mosaic's default scoped-VMEM check is 16 MiB; the reduce kernel's
 # 6 double-buffered output blocks + 2 projective scratch accumulators

@@ -353,32 +353,32 @@ def _bucket_reduce_t(curve, buckets):
 def _reduce_combine_t(curve, A, B):
     """Cross-lane combine of the reduce kernel's per-lane partials:
     T_w = C * sum_c B_c + sum_c c*A_c on (L, Wt, C) x3 arrays -> (L, Wt).
-    Width C is small (bucket_kernel.REDUCE_C), so these XLA passes touch
-    ~NBUCKETS/K-sized arrays instead of the full bucket set."""
+
+    One sequential suffix-reduce kernel computes sum_c c*A_c (the weighted
+    sum of the A half) and sum_c B_c (the plain sum of the B half) in a
+    single launch over lanes [A | B]; only the log2(C) doubling chain and
+    the final add remain as XLA point-op calls.  (The prior Hillis-Steele
+    suffix + tree composition was ~29ms of launches/HBM round-trips.)"""
+    import os
+
+    from davinci_tpu.msm.bucket_kernel import suffix_reduce_kernel
+
+    interp = os.environ.get("DAVINCI_MSM_KERNEL") == "interpret"
     L, Wt, Cw = A[0].shape
     nbits = Cw.bit_length() - 1  # Cw is a power of two
-    c_iota = jnp.arange(Cw, dtype=jnp.int32)
-    ident = _t_identity(curve, (Wt, Cw))
+    Wp = -(-Wt // 128) * 128
 
-    # sum_c c*A_c == sum_{c>=1} suffix(c): Hillis-Steele suffix + mask c=0
-    def suffix(i, a):
-        stride = 1 << i
-        valid = c_iota < (Cw - stride)
-        shifted = _t_select(
-            valid, tuple(jnp.roll(x, -stride, axis=2) for x in a), ident
-        )
-        return _t_add(curve, a, shifted)
+    def prep(t):  # (L, Wt, Cw) x3 -> (Cw, 3L, Wp); pad lanes are junk
+        s = jnp.concatenate(t, axis=0)  # (3L, Wt, Cw)
+        s = jnp.moveaxis(s, 2, 0)  # (Cw, 3L, Wt)
+        if Wp != Wt:
+            s = jnp.pad(s, ((0, 0), (0, 0), (0, Wp - Wt)))
+        return s
 
-    acc = jax.lax.fori_loop(0, nbits, suffix, A)
-    acc = _t_select(c_iota >= 1, acc, ident)
-
-    def tree(i, a):
-        s = Cw >> 1 >> i
-        rolled = tuple(jnp.roll(x, -s, axis=2) for x in a)
-        return _t_add(curve, a, rolled)
-
-    wA = tuple(a[:, :, 0] for a in jax.lax.fori_loop(0, nbits, tree, acc))
-    sumB = tuple(a[:, :, 0] for a in jax.lax.fori_loop(0, nbits, tree, B))
+    s = jnp.concatenate([prep(A), prep(B)], axis=2)  # (Cw, 3L, 2Wp)
+    A2, B2 = suffix_reduce_kernel(curve, s, interp)  # (3L, 2Wp) each
+    wA = tuple(B2[c * L : (c + 1) * L, :Wt] for c in range(3))
+    sumB = tuple(A2[c * L : (c + 1) * L, Wp : Wp + Wt] for c in range(3))
     CB = jax.lax.fori_loop(
         0, nbits, lambda _, t: _t_double(curve, t), sumB
     )
@@ -485,6 +485,19 @@ def _horner_t_jit(curve, sums, W: int):
     return _horner_t(curve, sums, W)
 
 
+def _horner_dispatch(curve, sums, W: int):
+    """Kernel-path Horner: one monolithic Pallas kernel (VMEM-resident
+    accumulator) instead of 13 point-add launches per window."""
+    if _use_scan_kernel(curve):
+        import os
+
+        from davinci_tpu.msm.bucket_kernel import horner_kernel
+
+        interp = os.environ.get("DAVINCI_MSM_KERNEL") == "interpret"
+        return horner_kernel(curve, sums, W, interp)
+    return _horner_t_jit(curve, sums, W)
+
+
 def _pad_inputs(curve, xs, ys, zs, scalar_limbs, multiple: int | None = None):
     if multiple is None:
         multiple = COLS  # module attribute: tests may shrink it
@@ -569,7 +582,7 @@ def msm(curve, points, scalar_limbs):
         for w0 in range(0, W, wt):
             sums.append(tile_fn(curve, xs, ys, zs, keys_all[w0 : w0 + wt]))
         sums = tuple(jnp.concatenate(parts, axis=1) for parts in zip(*sums))
-        out = _horner_t_jit(curve, sums, W)  # (L, 1) x3
+        out = _horner_dispatch(curve, sums, W)  # (L, 1) x3
         return tuple(a[:, 0] for a in out)
     sums = []
     for w0 in range(0, W, wt):
@@ -621,7 +634,7 @@ def msm_many(curve, points, scalar_limbs):
             jnp.swapaxes(s.reshape(L, M, W), 1, 2).reshape(L, W * M)
             for s in sums
         )
-        out = _horner_t_jit(curve, sums, W)  # (L, M) x3
+        out = _horner_dispatch(curve, sums, W)  # (L, M) x3
         return tuple(a.T for a in out)
     sums = []
     for w0 in range(0, M * W, wt):
@@ -635,14 +648,27 @@ def msm_many(curve, points, scalar_limbs):
 
 
 def scalars_to_limbs(spec, scalars) -> np.ndarray:
-    """Host ints -> (n, W) int32 window/limb decomposition (raw, base 2^12)."""
+    """Host ints -> (n, W) int32 window/limb decomposition (raw, base 2^12).
+
+    Vectorized via a bytes round-trip: the per-scalar/per-window Python
+    loop was a multi-minute host stall at proving-key sizes (millions of
+    witness scalars per Groth16 MSM)."""
     W = -(-spec.r.bit_length() // WINDOW_BITS)
-    S = np.zeros((len(scalars), W), np.int32)
-    for i, s in enumerate(scalars):
-        v = int(s) % spec.r
-        for j in range(W):
-            S[i, j] = v & (NBUCKETS - 1)
-            v >>= WINDOW_BITS
+    n = len(scalars)
+    if n == 0:
+        return np.zeros((0, W), np.int32)
+    nb = (W * WINDOW_BITS + 7) // 8 + 1  # +1: 2-byte window reads stay in range
+    r = spec.r
+    raw = b"".join(
+        (int(s) % r).to_bytes(nb, "little") for s in scalars
+    )
+    u8 = np.frombuffer(raw, np.uint8).reshape(n, nb).astype(np.int32)
+    S = np.empty((n, W), np.int32)
+    for j in range(W):
+        bit = WINDOW_BITS * j
+        byte, sh = bit // 8, bit % 8  # sh cycles 0/4: spans <= 2 bytes
+        v = (u8[:, byte] >> sh) | (u8[:, byte + 1] << (8 - sh))
+        S[:, j] = v & (NBUCKETS - 1)
     return S
 
 
@@ -716,7 +742,9 @@ def sharded_msm(curve, points, scalar_limbs, mesh, axis_name="shard"):
                 accum = tuple(g[0] for g in gathered)
                 accum = jax.lax.fori_loop(1, ndev, fold_t, accum)
                 sums = _bucket_reduce_t(curve, accum)
-                out = _horner_t(curve, sums, W)
+                from davinci_tpu.msm.bucket_kernel import horner_kernel
+
+                out = horner_kernel(curve, sums, W, interp)
                 return tuple(a[:, 0] for a in out)
             buckets = _bucket_accumulate_fused(curve, xs, ys, zs, sl.T)
             gathered = jax.lax.all_gather(buckets, axis_name)

@@ -152,7 +152,7 @@ def main():
         )
     )
     combine = jax.jit(lambda A, B: pp._reduce_combine_t(dc, A, B))
-    horner = functools.partial(pp._horner_t_jit, dc)
+    horner = functools.partial(pp._horner_dispatch, dc)
 
     bench("argsort only", sort_only, keys_all)
     bench("sort+pack+gather", sort_gather, xs, ys, zs, keys_all)

@@ -179,3 +179,76 @@ def test_pipeline_sharded_msm_matches(small_cols):
     out = sharded_msm(dc, P, S, mesh)
     got = dc.decode_points(tuple(a[None] for a in out))[0]
     assert got == _host_msm(spec, pts, scalars)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW_TESTS"),
+    reason="XLA:CPU compile on the per-limb kernel graphs is minutes even "
+    "at toy sizes; the TPU oracle test + bench assert cover this path",
+)
+def test_horner_kernel_interpret_matches():
+    """The monolithic Horner kernel (interpret mode, toy curve) against
+    the XLA fori composition — quick off-TPU coverage for the kernel the
+    TPU path launches (the full interpret scan test is RUN_SLOW_TESTS)."""
+    from davinci_tpu.circuits.toycurve import toy_bls12
+    from davinci_tpu.msm.bucket_kernel import horner_kernel
+
+    spec = toy_bls12()["g1"]
+    dc = get_device_curve(spec)
+    r = random.Random(17)
+    W = -(-spec.r.bit_length() // pp.WINDOW_BITS)
+    B = 2
+    pts = [spec.gen.mul(r.randrange(1, spec.r)) for _ in range(W * B)]
+    sums3 = dc.encode_points(pts)  # (W*B, L) x3, window-major (w*B + b)
+    sums_t = tuple(jnp.asarray(np.asarray(a)).T for a in sums3)  # (L, W*B)
+    got = horner_kernel(dc, sums_t, W, interpret=True)
+    got_pts = dc.decode_points(tuple(jnp.asarray(a).T for a in got))
+    for b in range(B):
+        want = spec.infinity()
+        for w in reversed(range(W)):
+            for _ in range(pp.WINDOW_BITS):
+                want = want.add(want)
+            want = want.add(pts[w * B + b])
+        # Horner MSB-first: total = sum_w 2^(12w) S_w
+        want2 = spec.infinity()
+        for w in range(W):
+            want2 = want2.add(pts[w * B + b].mul(1 << (pp.WINDOW_BITS * w)))
+        assert want == want2  # sanity on the oracle itself
+        assert got_pts[b] == want2
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW_TESTS"),
+    reason="XLA:CPU compile on the per-limb kernel graphs is minutes even "
+    "at toy sizes; the TPU oracle test + bench assert cover this path",
+)
+def test_suffix_reduce_kernel_interpret_matches():
+    """suffix_reduce_kernel: A = sum S_k, B = sum k*S_k (interpret mode,
+    toy curve) against host point arithmetic."""
+    from davinci_tpu.circuits.toycurve import toy_bls12
+    from davinci_tpu.msm.bucket_kernel import suffix_reduce_kernel
+
+    spec = toy_bls12()["g1"]
+    dc = get_device_curve(spec)
+    r = random.Random(23)
+    K, M = 5, 128
+    pts = [
+        [spec.gen.mul(r.randrange(1, spec.r)) for _ in range(M)]
+        for _ in range(K)
+    ]
+    rows = []
+    for k in range(K):
+        x, y, z = dc.encode_points(pts[k])  # (M, L) x3
+        rows.append(jnp.concatenate([x.T, y.T, z.T], axis=0))  # (3L, M)
+    s = jnp.stack(rows)  # (K, 3L, M)
+    A2, B2 = suffix_reduce_kernel(dc, s, interpret=True)
+    L = dc.df.L
+    A = dc.decode_points(tuple(A2[c * L : (c + 1) * L].T for c in range(3)))
+    Bv = dc.decode_points(tuple(B2[c * L : (c + 1) * L].T for c in range(3)))
+    for m in range(0, M, 37):
+        wa, wb = spec.infinity(), spec.infinity()
+        for k in range(K):
+            wa = wa.add(pts[k][m])
+            wb = wb.add(pts[k][m].mul(k))
+        assert A[m] == wa
+        assert Bv[m] == wb
