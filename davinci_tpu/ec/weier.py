@@ -227,16 +227,31 @@ class DeviceCurve:
     # -- affine conversion (batched inversion) ------------------------------
 
     def to_affine(self, p):
-        """(X,Y,Z) -> (x, y, is_inf) with x,y affine Montgomery limbs.
-        Prime-field curves only for now (uses Fermat inversion)."""
-        assert self.ops.coord_ndim == 1
-        f = self.df
+        """(X,Y,Z) -> (x, y, is_inf) with x,y affine Montgomery limbs
+        (Fermat inversion on Fp; norm-based on Fp2)."""
+        f = self.ops
         X, Y, Z = p
         zinv = f.inv(Z)  # inv(0) = 0 by construction
         x = f.mul(X, zinv)
         y = f.mul(Y, zinv)
         inf = f.is_zero(Z)
         return x, y, inf
+
+    def affine_encoding(self, p):
+        """(X,Y,Z) batch -> the MSM affine-input encoding: x/y affine
+        Montgomery limbs and z in {0, one_mont} flagging infinity —
+        what encode_points produces, straight from device arrays."""
+        x, y, inf = self.to_affine(p)
+        infc = (
+            inf[..., None] if self.ops.coord_ndim == 1 else inf[..., None, None]
+        )
+        zero = jnp.zeros_like(x)
+        one = jnp.broadcast_to(self.ops.one_mont, x.shape)
+        return (
+            jnp.where(infc, zero, x),
+            jnp.where(infc, self.ops.one_mont, y),
+            jnp.where(infc, zero, one),
+        )
 
 
 @functools.cache

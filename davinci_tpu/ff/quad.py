@@ -81,6 +81,19 @@ class DeviceQuadExt:
     def is_zero(self, a):
         return jnp.all(a == 0, axis=(-1, -2))
 
+    def inv(self, a):
+        """Batched inversion: 1/(a0 + a1 u) = (a0 - a1 u)/(a0^2 - nr a1^2);
+        inv(0) = 0 (matches DeviceField.inv's convention)."""
+        a0, a1 = a[..., 0, :], a[..., 1, :]
+        norm = self.df.sub(
+            self.df.mul(a0, a0),
+            self.df.mul(self.nr_mont, self.df.mul(a1, a1)),
+        )
+        ninv = self.df.inv(norm)
+        c0 = self.df.mul(a0, ninv)
+        c1 = self.df.neg(self.df.mul(a1, ninv))
+        return jnp.stack([c0, c1], axis=-2)
+
 
 @functools.cache
 def get_device_quad(spec, nr: int) -> DeviceQuadExt:

@@ -17,6 +17,7 @@ for log-derivative lookup range checks (circuits/lookup.py).
 
 from __future__ import annotations
 
+import functools
 import random as _random
 from dataclasses import dataclass
 
@@ -28,6 +29,7 @@ from davinci_tpu import curves as C
 from davinci_tpu import log
 from davinci_tpu.curves import AffinePoint
 from davinci_tpu.ec import get_device_curve
+from davinci_tpu.groth16.bases import EncodedBases
 from davinci_tpu.msm import msm
 from davinci_tpu.msm.pippenger import scalars_to_limbs
 from davinci_tpu.ntt import get_device_ntt
@@ -36,21 +38,30 @@ from davinci_tpu.pairing import PAIRINGS
 
 @dataclass(eq=False)
 class ProvingKey:
+    """MSM base sets live as EncodedBases (device-encoded limb arrays) —
+    host AffinePoint lists re-encoded per prove were the round-1 scaling
+    wall at multi-million-variable circuits.  Zero polynomials are PRUNED:
+    a/b bases cover only wires with u_i != 0 / v_i != 0 (their witness
+    scalars are gathered via a_indices/b_indices at prove time), matching
+    gnark's infinity-point pruning."""
+
     alpha_g1: AffinePoint
     beta_g1: AffinePoint
     beta_g2: AffinePoint
     delta_g1: AffinePoint
     delta_g2: AffinePoint
-    a_g1: list          # [u_i(tau)] G1, all variables
-    b_g1: list          # [v_i(tau)] G1
-    b_g2: list          # [v_i(tau)] G2
-    k_g1: list          # [(beta u + alpha v + w)/delta] G1, private vars
-    z_g1: list          # [tau^j Z(tau)/delta] G1, j < N-1
+    a_g1: EncodedBases       # [u_i(tau)] G1, i in a_indices
+    b_g1: EncodedBases       # [v_i(tau)] G1, i in b_indices
+    b_g2: EncodedBases       # [v_i(tau)] G2, i in b_indices
+    k_g1: EncodedBases       # [(beta u + alpha v + w)/delta] G1, k_priv_indices
+    z_g1: EncodedBases       # [tau^j Z(tau)/delta] G1, j < N-1
     domain_log: int
+    a_indices: object = None  # np.int64 witness indices for a_g1 (None = all)
+    b_indices: object = None
     # commitment extension (gnark Groth16-with-commitments role): gamma
     # basis for the committed wires + its eta-scaled copy for the PoK
-    k_commit_g1: list = None
-    k_commit_eta_g1: list = None
+    k_commit_g1: EncodedBases = None
+    k_commit_eta_g1: EncodedBases = None
     k_priv_indices: list = None  # witness indices matching k_g1
 
 
@@ -167,13 +178,14 @@ class Groth16:
         committed = list(getattr(cs, "committed", []) or [])
         chal_idx = getattr(cs, "challenge_idx", None)
         gamma_side = set(committed) | ({chal_idx} if chal_idx is not None else set())
-        k_priv_indices = [
-            i for i in range(npub, m) if i not in gamma_side
+        k_priv_pairs = [
+            (i, kv)
+            for i in range(npub, m)
+            if i not in gamma_side
+            and (kv := (beta * u[i] + alpha * v[i] + wv[i]) % r * dinv % r)
         ]
-        k_priv = [
-            (beta * u[i] + alpha * v[i] + wv[i]) % r * dinv % r
-            for i in k_priv_indices
-        ]
+        k_priv_indices = [i for i, _ in k_priv_pairs]
+        k_priv = [kv for _, kv in k_priv_pairs]
         eta = rng.randrange(1, r)
         k_commit = [
             (beta * u[i] + alpha * v[i] + wv[i]) % r * ginv % r
@@ -193,22 +205,29 @@ class Groth16:
             z_scalars.append(t_acc)
             t_acc = t_acc * tau % r
 
-        g1m = self._g1_batch_mul
-        g2m = self._g2_batch_mul
+        # prune zero polynomials: wires absent from A (resp. B) contribute
+        # nothing to the A/B MSMs — their bases would be the infinity point
+        a_indices = [i for i in range(m) if u[i]]
+        b_indices = [i for i in range(m) if v[i]]
+        g1e = functools.partial(self._batch_mul_enc, self.dc, self.g1)
+        g2e = functools.partial(self._batch_mul_enc, self.dc2, self.g2)
+        v_nz = [v[i] for i in b_indices]
         pk = ProvingKey(
             alpha_g1=self.g1.gen.mul(alpha),
             beta_g1=self.g1.gen.mul(beta),
             beta_g2=self.g2.gen.mul(beta),
             delta_g1=self.g1.gen.mul(delta),
             delta_g2=self.g2.gen.mul(delta),
-            a_g1=g1m(u),
-            b_g1=g1m(v),
-            b_g2=g2m(v),
-            k_g1=g1m(k_priv),
-            z_g1=g1m(z_scalars),
+            a_g1=g1e([u[i] for i in a_indices]),
+            b_g1=g1e(v_nz),
+            b_g2=g2e(v_nz),
+            k_g1=g1e(k_priv),
+            z_g1=g1e(z_scalars),
             domain_log=logN,
-            k_commit_g1=g1m(k_commit),
-            k_commit_eta_g1=g1m([x * eta % r for x in k_commit]),
+            a_indices=np.asarray(a_indices, np.int64),
+            b_indices=np.asarray(b_indices, np.int64),
+            k_commit_g1=g1e(k_commit),
+            k_commit_eta_g1=g1e([x * eta % r for x in k_commit]),
             k_priv_indices=k_priv_indices,
         )
         vk = VerifyingKey(
@@ -216,7 +235,8 @@ class Groth16:
             beta_g2=pk.beta_g2,
             gamma_g2=self.g2.gen.mul(gamma),
             delta_g2=pk.delta_g2,
-            k_pub_g1=g1m(k_pub),
+            k_pub_g1=self._batch_mul_enc(self.dc, self.g1, k_pub)
+            .to_host_points(self.dc),
             k_challenge_g1=(
                 self.g1.gen.mul(k_chal) if k_chal is not None else None
             ),
@@ -229,31 +249,30 @@ class Groth16:
     # crashes the TPU worker (device memory blowup), 16k is safe
     _BATCH_MUL_CHUNK = 16384
 
-    def _g1_batch_mul(self, scalars):
-        """[s*G1] for a scalar list — chunked batched device double-and-add."""
-        return self._batch_mul(self.dc, self.g1, scalars)
-
-    def _g2_batch_mul(self, scalars):
-        """[s*G2] — chunked, over the Fp2 backend."""
-        return self._batch_mul(self.dc2, self.g2, scalars)
-
-    def _batch_mul(self, dc, gspec, scalars):
+    def _batch_mul_enc(self, dc, gspec, scalars) -> EncodedBases:
+        """[s * gen] for a scalar list as EncodedBases — chunked batched
+        device double-and-add + batched affine normalization; the points
+        never round-trip through host bignums."""
         if not scalars:
-            return []
+            return EncodedBases.empty(dc)
         n = len(scalars)
         chunk = min(
             self._BATCH_MUL_CHUNK,
             1 << (n - 1).bit_length() if n > 1 else 1,
         )
         base = dc.encode_points([gspec.gen] * chunk)
-        out = []
+        outs = []
         for ofs in range(0, n, chunk):
             part = list(scalars[ofs : ofs + chunk])
             part += [0] * (chunk - len(part))
             S = jnp.asarray(scalars_to_limbs(gspec, part))
-            res = dc.scalar_mul(base, S)
-            out.extend(dc.decode_points(res))
-        return out[:n]
+            res = dc.affine_encoding(dc.scalar_mul(base, S))
+            outs.append(tuple(np.asarray(a) for a in res))
+        return EncodedBases(
+            np.concatenate([o[0] for o in outs])[:n],
+            np.concatenate([o[1] for o in outs])[:n],
+            np.concatenate([o[2] for o in outs])[:n],
+        )
 
     # ------------------------------------------------------------------ prove
 
@@ -291,20 +310,26 @@ class Groth16:
 
         # --- MSMs ---------------------------------------------------------
         with log.info_time("groth16.msms", n_vars=len(z)):
-            a_lin = self._msm_host_pts(pk.a_g1, z)
-            b1_lin = self._msm_host_pts(pk.b_g1, z)
+            a_scalars = (
+                [z[i] for i in pk.a_indices] if pk.a_indices is not None else z
+            )
+            b_scalars = (
+                [z[i] for i in pk.b_indices] if pk.b_indices is not None else z
+            )
+            a_lin = self._msm_enc(self.dc, self.g1, pk.a_g1, a_scalars)
+            b1_lin = self._msm_enc(self.dc, self.g1, pk.b_g1, b_scalars)
             npub = 1 + cs.num_public
             if pk.k_priv_indices is not None:
                 k_scalars = [z[i] for i in pk.k_priv_indices]
             else:
                 k_scalars = z[npub:]
-            k_lin = self._msm_host_pts(pk.k_g1, k_scalars)
-            h_lin = self._msm_host_pts(pk.z_g1, h[: N - 1])
+            k_lin = self._msm_enc(self.dc, self.g1, pk.k_g1, k_scalars)
+            h_lin = self._msm_enc(self.dc, self.g1, pk.z_g1, h[: N - 1])
+            b2_lin = self._msm_enc(self.dc2, self.g2, pk.b_g2, b_scalars)
 
         # --- assembly (host, tiny) ---------------------------------------
         A = pk.alpha_g1.add(a_lin).add(pk.delta_g1.mul(rr))
         B1 = pk.beta_g1.add(b1_lin).add(pk.delta_g1.mul(ss))
-        b2_lin = self._msm_pts(self.dc2, self.g2, pk.b_g2, z)
         B2 = pk.beta_g2.add(b2_lin).add(pk.delta_g2.mul(ss))
         Cpt = (
             k_lin.add(h_lin)
@@ -328,8 +353,8 @@ class Groth16:
         blind = rng.randrange(self.r)
         cs0 = build_fn(0, blind)
         committed_vals = [cs0.values[i] for i in cs0.committed]
-        D = self._msm_pts(self.dc, self.g1, pk.k_commit_g1, committed_vals)
-        pok = self._msm_pts(
+        D = self._msm_enc(self.dc, self.g1, pk.k_commit_g1, committed_vals)
+        pok = self._msm_enc(
             self.dc, self.g1, pk.k_commit_eta_g1, committed_vals
         )
         challenge = self.commitment_challenge(D)
@@ -398,10 +423,17 @@ class Groth16:
             ]
         )
 
-    def _msm_host_pts(self, pts, scalars):
-        return self._msm_pts(self.dc, self.g1, pts, scalars)
+    def _msm_enc(self, dc, gspec, bases: EncodedBases, scalars):
+        """MSM over pre-encoded bases (PK arrays resident on device)."""
+        assert len(bases) == len(scalars)
+        if len(bases) == 0 or not any(scalars):
+            return gspec.infinity()
+        S = jnp.asarray(scalars_to_limbs(gspec, scalars))
+        out = msm(dc, bases.device(), S)
+        return dc.decode_points(tuple(a[None] for a in out))[0]
 
     def _msm_pts(self, dc, gspec, pts, scalars):
+        """MSM over host AffinePoint lists (small, vk-side helpers)."""
         assert len(pts) == len(scalars)
         nz = [(p, s) for p, s in zip(pts, scalars) if s and not p.infinity]
         if not nz:

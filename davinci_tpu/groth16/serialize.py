@@ -12,10 +12,69 @@ from __future__ import annotations
 import hashlib
 import io
 
+import numpy as np
+
 from davinci_tpu.curves import AffinePoint
+from davinci_tpu.groth16.bases import EncodedBases
 from davinci_tpu.towers import FF
 
-_MAGIC = b"DVTPU2\n"
+# v3: PK MSM bases are raw little-endian int32 limb-array blobs
+# (EncodedBases) instead of per-point bignum records — (de)serializing
+# multi-million-point keys through AffinePoints cost minutes per load
+_MAGIC = b"DVTPU3\n"
+
+
+def _write_arr(buf, a, dtype):
+    a = np.ascontiguousarray(np.asarray(a, np.dtype(dtype).newbyteorder("<")))
+    buf.write(len(a.shape).to_bytes(1, "big"))
+    for d in a.shape:
+        buf.write(int(d).to_bytes(8, "big"))
+    buf.write(a.tobytes())
+
+
+def _read_arr(buf, dtype):
+    ndim = buf.read(1)[0]
+    shape = tuple(
+        int.from_bytes(buf.read(8), "big") for _ in range(ndim)
+    )
+    count = 1
+    for d in shape:
+        count *= d
+    dt = np.dtype(dtype).newbyteorder("<")
+    arr = np.frombuffer(buf.read(count * dt.itemsize), dt).reshape(shape)
+    return arr.astype(dtype)
+
+
+def _write_bases(buf, b: EncodedBases | None):
+    if b is None:
+        buf.write(b"\x00")
+        return
+    buf.write(b"\x01")
+    for a in (b.x, b.y, b.z):
+        _write_arr(buf, a, np.int32)
+
+
+def _read_bases(buf) -> EncodedBases | None:
+    if buf.read(1) == b"\x00":
+        return None
+    x = _read_arr(buf, np.int32)
+    y = _read_arr(buf, np.int32)
+    z = _read_arr(buf, np.int32)
+    return EncodedBases(x, y, z)
+
+
+def _write_idx(buf, idx):
+    if idx is None:
+        buf.write(b"\x00")
+        return
+    buf.write(b"\x01")
+    _write_arr(buf, np.asarray(idx, np.int64), np.int64)
+
+
+def _read_idx(buf):
+    if buf.read(1) == b"\x00":
+        return None
+    return _read_arr(buf, np.int64)
 
 
 def _field_nbytes(spec) -> int:
@@ -87,16 +146,17 @@ def pk_to_bytes(pk, g1spec, g2spec) -> bytes:
         _write_point(buf, pt, nb1, 1)
     for pt in (pk.beta_g2, pk.delta_g2):
         _write_point(buf, pt, nb2, nc2)
-    for pts in (pk.a_g1, pk.b_g1, pk.k_g1, pk.z_g1):
-        _write_points(buf, pts, g1spec)
-    _write_points(buf, pk.b_g2, g2spec)
-    # commitment extension (DVTPU2): gamma/eta bases + k indices
-    _write_points(buf, pk.k_commit_g1 or [], g1spec)
-    _write_points(buf, pk.k_commit_eta_g1 or [], g1spec)
-    idxs = pk.k_priv_indices or []
-    buf.write(len(idxs).to_bytes(8, "big"))
-    for i in idxs:
-        buf.write(int(i).to_bytes(8, "big"))
+    for b in (
+        pk.a_g1, pk.b_g1, pk.k_g1, pk.z_g1, pk.b_g2,
+        pk.k_commit_g1, pk.k_commit_eta_g1,
+    ):
+        _write_bases(buf, b)
+    _write_idx(buf, pk.a_indices)
+    _write_idx(buf, pk.b_indices)
+    _write_idx(
+        buf,
+        None if pk.k_priv_indices is None else list(pk.k_priv_indices),
+    )
     return buf.getvalue()
 
 
@@ -114,17 +174,16 @@ def pk_from_bytes(data: bytes, g1spec, g2spec):
     delta_g1 = _read_point(buf, g1spec, nb1, 1)
     beta_g2 = _read_point(buf, g2spec, nb2, nc2)
     delta_g2 = _read_point(buf, g2spec, nb2, nc2)
-    a_g1 = _read_points(buf, g1spec)
-    b_g1 = _read_points(buf, g1spec)
-    k_g1 = _read_points(buf, g1spec)
-    z_g1 = _read_points(buf, g1spec)
-    b_g2 = _read_points(buf, g2spec)
-    k_commit_g1 = _read_points(buf, g1spec)
-    k_commit_eta_g1 = _read_points(buf, g1spec)
-    n_idx = int.from_bytes(buf.read(8), "big")
-    k_priv_indices = [
-        int.from_bytes(buf.read(8), "big") for i in range(n_idx)
-    ]
+    a_g1 = _read_bases(buf)
+    b_g1 = _read_bases(buf)
+    k_g1 = _read_bases(buf)
+    z_g1 = _read_bases(buf)
+    b_g2 = _read_bases(buf)
+    k_commit_g1 = _read_bases(buf)
+    k_commit_eta_g1 = _read_bases(buf)
+    a_indices = _read_idx(buf)
+    b_indices = _read_idx(buf)
+    k_idx = _read_idx(buf)
     return ProvingKey(
         alpha_g1=alpha_g1,
         beta_g1=beta_g1,
@@ -137,9 +196,11 @@ def pk_from_bytes(data: bytes, g1spec, g2spec):
         k_g1=k_g1,
         z_g1=z_g1,
         domain_log=domain_log,
+        a_indices=a_indices,
+        b_indices=b_indices,
         k_commit_g1=k_commit_g1,
         k_commit_eta_g1=k_commit_eta_g1,
-        k_priv_indices=k_priv_indices or None,
+        k_priv_indices=None if k_idx is None else k_idx.tolist(),
     )
 
 
