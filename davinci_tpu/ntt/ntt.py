@@ -4,14 +4,20 @@ Role: the quotient-polynomial FFTs inside Groth16 proving — replaces
 gnark-crypto's fft package (used by every groth16.Prove in the reference,
 SURVEY.md §2.3 "radix-2 FFT").
 
-Design: iterative Cooley-Tukey DIT with a host-precomputed bit-reversal
-permutation and per-stage *statically strided* twiddle slices (no gathers).
-Stages are a Python loop (log n instantiations of one batched field mul —
-compile-friendly); all data stays (..., n, L) int32 Montgomery limbs, so
-batches of polynomials vectorize across the VPU.
+Design: constant-geometry Stockham DIF — every stage is the SAME graph
+(halve, butterfly, twiddle-gather, permutation-gather), so the whole
+transform is a lax.fori_loop over one stage instantiation with
+host-precomputed (logn, n) permutation and (logn, n/2) twiddle-exponent
+tables.  The previous Python-unrolled Cooley-Tukey emitted log2(n) fused
+stage graphs: at the 2^18 quotient domain the XLA/AOT compile of that
+graph took 10-17 MINUTES per process (measured on the results-verifier
+prove), dwarfing the milliseconds of execution.  Natural order in and
+out (autosort — no bit-reversal pass).
 
-Coset evaluation/interpolation (for the quotient h = (a*b - c)/Z_H) uses
-device-built power tables (log-depth doubling construction).
+All data stays (..., n, L) int32 Montgomery limbs, so batches of
+polynomials vectorize across the VPU.  Coset evaluation/interpolation
+(for the quotient h = (a*b - c)/Z_H) uses device-built power tables
+(log-depth doubling construction).
 """
 
 from __future__ import annotations
@@ -25,13 +31,26 @@ import numpy as np
 from davinci_tpu.ff import get_device_field
 
 
-def _bitrev_perm(n: int) -> np.ndarray:
+@functools.lru_cache(maxsize=16)
+def _stage_tables(n: int):
+    """Host-built constant-geometry stage tables for a size-n transform:
+    perm (logn, n) int32 — output position i of stage s reads butterfly
+    output [b*(n/2) + j*m + t] where i = j*2m + b*m + t, m = 2^s;
+    exps (logn, n/2) int32 — twiddle exponents (j*m for flat lane j*m+t)."""
     logn = n.bit_length() - 1
-    idx = np.arange(n)
-    rev = np.zeros(n, np.int32)
-    for b in range(logn):
-        rev |= ((idx >> b) & 1) << (logn - 1 - b)
-    return rev
+    perm = np.zeros((max(logn, 1), n), np.int32)
+    exps = np.zeros((max(logn, 1), max(n // 2, 1)), np.int32)
+    i = np.arange(n)
+    half = np.arange(n // 2)
+    for s in range(logn):
+        m = 1 << s
+        j, rem = i // (2 * m), i % (2 * m)
+        b, t = rem // m, rem % m
+        perm[s] = (b * (n // 2) + j * m + t).astype(np.int32)
+        exps[s] = ((half // m) * m).astype(np.int32)
+    import jax.numpy as _jnp
+
+    return _jnp.asarray(perm), _jnp.asarray(exps)
 
 
 class DeviceNTT:
@@ -59,35 +78,31 @@ class DeviceNTT:
             cur = cur * cur % self.spec.p
         return p[:n]
 
-    def _butterflies(self, x: jnp.ndarray, wpow: jnp.ndarray, n: int):
-        """DIT butterflies on bit-reversed input; wpow = powers of omega,
-        (n/2, L)."""
+    def _butterflies(self, x: jnp.ndarray, wpow, perm, exps, n: int):
+        """Constant-geometry Stockham DIF stages: natural order in/out.
+        wpow: (n/2, L) powers of omega; perm/exps: _stage_tables(n)."""
         df = self.df
         logn = n.bit_length() - 1
-        lead = x.shape[:-2]
-        for s in range(logn):
-            m = 1 << s
-            step = n // (2 * m)
-            w = wpow[::step][:m]  # (m, L) static strided slice
-            xr = x.reshape(lead + (n // (2 * m), 2, m, x.shape[-1]))
-            u = xr[..., 0, :, :]
-            v = df.mul(xr[..., 1, :, :], w)
-            x = jnp.stack([df.add(u, v), df.sub(u, v)], axis=-3).reshape(
-                lead + (n, x.shape[-1])
+        half = n // 2
+
+        def stage(s, x):
+            u = x[..., :half, :]
+            v = x[..., half:, :]
+            tw = jnp.take(wpow, exps[s], axis=0)  # (n/2, L)
+            z = jnp.concatenate(
+                [df.add(u, v), df.mul(tw, df.sub(u, v))], axis=-2
             )
-        return x
+            return jnp.take(z, perm[s], axis=-2)
+
+        return jax.lax.fori_loop(0, logn, stage, x)
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _ntt_jit(self, x, rev, wpow):
-        n = x.shape[-2]
-        x = jnp.take(x, rev, axis=-2)
-        return self._butterflies(x, wpow, n)
+    def _ntt_jit(self, x, wpow, perm, exps):
+        return self._butterflies(x, wpow, perm, exps, x.shape[-2])
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _intt_jit(self, x, rev, wpow_inv, ninv_mont):
-        n = x.shape[-2]
-        x = jnp.take(x, rev, axis=-2)
-        x = self._butterflies(x, wpow_inv, n)
+    def _intt_jit(self, x, wpow_inv, perm, exps, ninv_mont):
+        x = self._butterflies(x, wpow_inv, perm, exps, x.shape[-2])
         return self.df.mul(x, ninv_mont)
 
     def ntt(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -97,9 +112,9 @@ class DeviceNTT:
         logn = n.bit_length() - 1
         assert 1 << logn == n
         w, _, _ = self._roots(logn)
-        rev = jnp.asarray(_bitrev_perm(n))
+        perm, exps = _stage_tables(n)
         wpow = self.power_table(w, n // 2) if n > 1 else self.df.one_mont[None]
-        return self._ntt_jit(x, rev, wpow)
+        return self._ntt_jit(x, wpow, perm, exps)
 
     def intt(self, x: jnp.ndarray) -> jnp.ndarray:
         """Inverse NTT: evaluations -> coefficients."""
@@ -107,10 +122,10 @@ class DeviceNTT:
         logn = n.bit_length() - 1
         assert 1 << logn == n
         _, winv, ninv = self._roots(logn)
-        rev = jnp.asarray(_bitrev_perm(n))
+        perm, exps = _stage_tables(n)
         wpow = self.power_table(winv, n // 2) if n > 1 else self.df.one_mont[None]
         ninv_mont = self.df.encode_scalar(ninv)
-        return self._intt_jit(x, rev, wpow, ninv_mont)
+        return self._intt_jit(x, wpow, perm, exps, ninv_mont)
 
     # -- explicit-root transforms -------------------------------------------
     # Some domains fix their own generator convention (EIP-4844 uses
@@ -121,19 +136,19 @@ class DeviceNTT:
     def ntt_with_root(self, x: jnp.ndarray, w: int) -> jnp.ndarray:
         n = x.shape[-2]
         assert pow(w, n, self.spec.p) == 1
-        rev = jnp.asarray(_bitrev_perm(n))
+        perm, exps = _stage_tables(n)
         wpow = self.power_table(w, n // 2) if n > 1 else self.df.one_mont[None]
-        return self._ntt_jit(x, rev, wpow)
+        return self._ntt_jit(x, wpow, perm, exps)
 
     def intt_with_root(self, x: jnp.ndarray, w: int) -> jnp.ndarray:
         n = x.shape[-2]
         winv = pow(w, -1, self.spec.p)
         ninv = pow(n, -1, self.spec.p)
-        rev = jnp.asarray(_bitrev_perm(n))
+        perm, exps = _stage_tables(n)
         wpow = (
             self.power_table(winv, n // 2) if n > 1 else self.df.one_mont[None]
         )
-        return self._intt_jit(x, rev, wpow, self.df.encode_scalar(ninv))
+        return self._intt_jit(x, wpow, perm, exps, self.df.encode_scalar(ninv))
 
     # -- coset helpers (quotient polynomial) --------------------------------
 
