@@ -366,6 +366,8 @@ def _reduce_combine_t(curve, A, B):
     interp = os.environ.get("DAVINCI_MSM_KERNEL") == "interpret"
     L, Wt, Cw = A[0].shape
     nbits = Cw.bit_length() - 1  # Cw is a power of two
+    if os.environ.get("DAVINCI_COMBINE_XLA"):
+        return _reduce_combine_xla(curve, A, B)
     Wp = -(-Wt // 128) * 128
 
     def prep(t):  # (L, Wt, Cw) x3 -> (Cw, 3L, Wp); pad lanes are junk
@@ -379,6 +381,38 @@ def _reduce_combine_t(curve, A, B):
     A2, B2 = suffix_reduce_kernel(curve, s, interp)  # (3L, 2Wp) each
     wA = tuple(B2[c * L : (c + 1) * L, :Wt] for c in range(3))
     sumB = tuple(A2[c * L : (c + 1) * L, Wp : Wp + Wt] for c in range(3))
+    CB = jax.lax.fori_loop(
+        0, nbits, lambda _, t: _t_double(curve, t), sumB
+    )
+    return _t_add(curve, CB, wA)
+
+
+def _reduce_combine_xla(curve, A, B):
+    """Hillis-Steele suffix + tree composition (perf-comparison fallback,
+    DAVINCI_COMBINE_XLA=1)."""
+    L, Wt, Cw = A[0].shape
+    nbits = Cw.bit_length() - 1
+    c_iota = jnp.arange(Cw, dtype=jnp.int32)
+    ident = _t_identity(curve, (Wt, Cw))
+
+    def suffix(i, a):
+        stride = 1 << i
+        valid = c_iota < (Cw - stride)
+        shifted = _t_select(
+            valid, tuple(jnp.roll(x, -stride, axis=2) for x in a), ident
+        )
+        return _t_add(curve, a, shifted)
+
+    acc = jax.lax.fori_loop(0, nbits, suffix, A)
+    acc = _t_select(c_iota >= 1, acc, ident)
+
+    def tree(i, a):
+        s = Cw >> 1 >> i
+        rolled = tuple(jnp.roll(x, -s, axis=2) for x in a)
+        return _t_add(curve, a, rolled)
+
+    wA = tuple(a[:, :, 0] for a in jax.lax.fori_loop(0, nbits, tree, acc))
+    sumB = tuple(a[:, :, 0] for a in jax.lax.fori_loop(0, nbits, tree, B))
     CB = jax.lax.fori_loop(
         0, nbits, lambda _, t: _t_double(curve, t), sumB
     )
