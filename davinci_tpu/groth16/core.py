@@ -21,6 +21,7 @@ import functools
 import random as _random
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,6 +89,69 @@ class Proof:
 class CommittedProof(Proof):
     d: AffinePoint = None    # Pedersen commitment to the committed wires
     pok: AffinePoint = None  # knowledge proof: pok == eta * d
+
+
+@functools.cache
+def _fixed_base_table(dc, gspec):
+    """Fixed-base window table T[w, d] = d * 2^(12w) * G for every base-2^12
+    scalar window w and digit d, as (W, 4096, ...) coordinate arrays.
+
+    Built on device: one host point mul per window for the row base B_w,
+    then a log-depth Hillis-Steele prefix scan turns [0, B, B, ...] into
+    [0, B, 2B, 3B, ...] (12 batched adds per row).  Cached per DeviceCurve.
+    Role: gnark-crypto's fixed-base precomputation used by Setup."""
+    from davinci_tpu.msm.pippenger import NBUCKETS, WINDOW_BITS
+
+    W = -(-gspec.r.bit_length() // WINDOW_BITS)
+    lane = jnp.arange(NBUCKETS)
+    rows = []
+    base_pt = gspec.gen
+    for w in range(W):
+        b1 = dc.encode_points([base_pt])
+        bw = tuple(
+            jnp.broadcast_to(a, (NBUCKETS,) + a.shape[1:]) for a in b1
+        )
+        ident = dc.identity((NBUCKETS,))
+        cur = dc.select(lane >= 1, bw, ident)
+        stride = 1
+        while stride < NBUCKETS:
+            shifted = tuple(jnp.roll(a, stride, axis=0) for a in cur)
+            shifted = dc.select(lane >= stride, shifted, ident)
+            cur = dc.add(cur, shifted)
+            stride <<= 1
+        rows.append(cur)
+        base_pt = base_pt.mul(1 << WINDOW_BITS)
+    return tuple(
+        jnp.stack([r[c] for r in rows]) for c in range(3)
+    )  # (W, NBUCKETS, ...) x3
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fixed_base_mul(dc, tx, ty, tz, S):
+    """[s_i * G] from the window table: S (n, W) base-2^12 digits ->
+    projective (n, ...) batch.  W gathers + a log-tree of adds."""
+    n, W = S.shape
+    NB = tx.shape[1]
+    tail = tx.shape[2:]
+    idx = (jnp.arange(W, dtype=jnp.int32)[:, None] * NB + S.T).reshape(-1)
+    parts = tuple(
+        t.reshape((W * NB,) + tail)[idx].reshape((W, n) + tail)
+        for t in (tx, ty, tz)
+    )
+    # pad the window axis to a power of two with identities, then halve
+    Wp = 1 << (W - 1).bit_length() if W > 1 else 1
+    if Wp != W:
+        ident = dc.identity((Wp - W, n))
+        parts = tuple(
+            jnp.concatenate([p, i], axis=0) for p, i in zip(parts, ident)
+        )
+    while Wp > 1:
+        half = Wp // 2
+        lo = tuple(p[:half] for p in parts)
+        hi = tuple(p[half:] for p in parts)
+        parts = dc.add(lo, hi)
+        Wp = half
+    return tuple(p[0] for p in parts)
 
 
 class Groth16:
@@ -250,9 +314,11 @@ class Groth16:
     _BATCH_MUL_CHUNK = 16384
 
     def _batch_mul_enc(self, dc, gspec, scalars) -> EncodedBases:
-        """[s * gen] for a scalar list as EncodedBases — chunked batched
-        device double-and-add + batched affine normalization; the points
-        never round-trip through host bignums."""
+        """[s * gen] for a scalar list as EncodedBases — fixed-base window
+        table (per-window gathers + a log-tree of adds) with batched
+        affine normalization; the points never round-trip through host
+        bignums.  The previous per-chunk 253-step double-and-add made the
+        batch muls the dominant cost of full-size trusted setups."""
         if not scalars:
             return EncodedBases.empty(dc)
         n = len(scalars)
@@ -260,13 +326,26 @@ class Groth16:
             self._BATCH_MUL_CHUNK,
             1 << (n - 1).bit_length() if n > 1 else 1,
         )
-        base = dc.encode_points([gspec.gen] * chunk)
+        # the window table pays off on TPU (table build = 264 cheap kernel
+        # adds); on the CPU test backend its one-time compile (~2 min per
+        # curve) dwarfs any execution win, so tests keep the compile-tiny
+        # double-and-add
+        fixed_base = jax.default_backend() == "tpu"
+        table = _fixed_base_table(dc, gspec) if fixed_base else None
+        base = (
+            None if fixed_base else dc.encode_points([gspec.gen] * chunk)
+        )
         outs = []
         for ofs in range(0, n, chunk):
             part = list(scalars[ofs : ofs + chunk])
             part += [0] * (chunk - len(part))
             S = jnp.asarray(scalars_to_limbs(gspec, part))
-            res = dc.affine_encoding(dc.scalar_mul(base, S))
+            pts = (
+                _fixed_base_mul(dc, *table, S)
+                if fixed_base
+                else dc.scalar_mul(base, S)
+            )
+            res = dc.affine_encoding(pts)
             outs.append(tuple(np.asarray(a) for a in res))
         return EncodedBases(
             np.concatenate([o[0] for o in outs])[:n],

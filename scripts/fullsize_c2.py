@@ -68,10 +68,24 @@ def main():
     t(f"circuit-1 build: {len(cs1.constraints):,} constraints", t0)
     rt1 = store.load_or_setup("ballotproof-full", "bn254", cs1)
     t("circuit-1 setup/load", t0)
-    proof1 = rt1.prove(cs1)
     ih = bw.inputs_hash()
+    import json
+    import pathlib
+
+    from davinci_tpu.groth16.serialize import proof_from_dict, proof_to_dict
+
+    p1_cache = pathlib.Path(store.root) / "ballotproof-full" / "proof1.json"
+    if p1_cache.exists():
+        proof1 = proof_from_dict(
+            json.loads(p1_cache.read_text()), rt1.g16.g1, rt1.g16.g2
+        )
+        t("circuit-1 proof loaded from cache", t0)
+    else:
+        proof1 = rt1.prove(cs1)
+        p1_cache.write_text(json.dumps(proof_to_dict(proof1)))
+        t("circuit-1 prove", t0)
     assert rt1.verify(proof1, [ih])
-    t("circuit-1 prove+verify", t0)
+    t("circuit-1 verify", t0)
 
     params = VoteVerifierParams(
         inner_ctx=bn254_pairing,
@@ -100,10 +114,22 @@ def main():
         f"circuit-2 FULL build (lookup tier): {len(cs2.constraints):,} "
         f"constraints, {cs2.num_variables:,} variables", t0,
     )
+    from collections import Counter
+
+    tally = Counter(lbl.split("/")[0] for lbl in cs2._labels.values())
+    unlabeled = len(cs2.constraints) - len(cs2._labels)
+    for scope, cnt in tally.most_common():
+        print(f"    {scope}: {cnt:,}", flush=True)
+    print(f"    (unlabeled incl. lookup finalize): {unlabeled:,}", flush=True)
+
     if STAGE == "build":
-        ok = cs2.check_satisfied()
-        t(f"satisfiability: {ok}", t0)
-        assert ok, cs2.first_unsatisfied()
+        # the phase-1 (challenge=0) build is unsat BY CONSTRUCTION in the
+        # lookup argument (1/(gamma - v) hits inv(0)); satisfiability is
+        # checked on a synthetic nonzero challenge outside the table range
+        cs_chk = build_fn(1 << 20, 1)
+        ok = cs_chk.check_satisfied()
+        t(f"satisfiability (test challenge): {ok}", t0)
+        assert ok, cs_chk.first_unsatisfied()
         return
 
     rt2 = store.load_or_setup(params.circuit_id(), "bls12_377", cs2)
