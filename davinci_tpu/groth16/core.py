@@ -502,14 +502,46 @@ class Groth16:
             ]
         )
 
+    # MSM segment size: proving-key MSMs always run at this fixed shape
+    # (tail zero-padded), so (a) every MSM in every circuit shares ONE
+    # compiled graph — per-shape XLA/AOT recompiles measured 10+ minutes
+    # per new size on the axon backend — and (b) device memory stays
+    # bounded for multi-million-point keys (segments are uploaded per
+    # call; partials are folded with host point adds).
+    MSM_SEGMENT = 1 << 18
+
     def _msm_enc(self, dc, gspec, bases: EncodedBases, scalars):
-        """MSM over pre-encoded bases (PK arrays resident on device)."""
+        """MSM over pre-encoded bases, segmented at MSM_SEGMENT."""
         assert len(bases) == len(scalars)
-        if len(bases) == 0 or not any(scalars):
+        n = len(bases)
+        if n == 0 or not any(scalars):
             return gspec.infinity()
-        S = jnp.asarray(scalars_to_limbs(gspec, scalars))
-        out = msm(dc, bases.device(), S)
-        return dc.decode_points(tuple(a[None] for a in out))[0]
+        seg = self.MSM_SEGMENT
+        if n <= seg:
+            # small circuits: resident bases, natural (pow2-padded) shape
+            S = jnp.asarray(scalars_to_limbs(gspec, scalars))
+            out = msm(dc, bases.device(), S)
+            return dc.decode_points(tuple(a[None] for a in out))[0]
+        total = gspec.infinity()
+        shape_tail = bases.x.shape[1:]
+        for ofs in range(0, n, seg):
+            hi = min(ofs + seg, n)
+            part = scalars[ofs:hi]
+            if not any(part):
+                continue
+            pads = ((0, seg - (hi - ofs)),) + ((0, 0),) * len(shape_tail)
+            arrs = tuple(
+                jnp.asarray(np.pad(a[ofs:hi], pads))
+                for a in (bases.x, bases.y, bases.z)
+            )
+            S = scalars_to_limbs(gspec, part)
+            if S.shape[0] != seg:
+                S = np.pad(S, ((0, seg - S.shape[0]), (0, 0)))
+            out = msm(dc, arrs, jnp.asarray(S))
+            total = total.add(
+                dc.decode_points(tuple(a[None] for a in out))[0]
+            )
+        return total
 
     def _msm_pts(self, dc, gspec, pts, scalars):
         """MSM over host AffinePoint lists (small, vk-side helpers)."""

@@ -75,3 +75,33 @@ def test_gadgets():
     assert [x.value for x in bits] == [1, 0, 1, 0]
     cs.assert_lt_const(a, 16, 4)
     assert cs.check_satisfied()
+
+
+def test_segmented_msm_matches():
+    """_msm_enc folds fixed-size segments with host adds: must equal the
+    single-shot MSM (covers the multi-million-point PK streaming path)."""
+    import numpy as np
+    import random
+
+    from davinci_tpu import curves as C
+    from davinci_tpu.ec import get_device_curve
+    from davinci_tpu.groth16 import Groth16
+    from davinci_tpu.groth16.bases import EncodedBases
+
+    g16 = Groth16("bn254")
+    spec, dc = C.bn254_g1, g16.dc
+    r = random.Random(44)
+    n = 50
+    pts = [spec.gen.mul(r.randrange(1, spec.r)) for _ in range(n)]
+    pts[7] = spec.infinity()
+    bases = EncodedBases.from_host_points(dc, pts)
+    scalars = [r.randrange(spec.r) for _ in range(n)]
+    scalars[3] = 0
+    want = g16._msm_enc(dc, spec, bases, scalars)
+    old_seg = Groth16.MSM_SEGMENT
+    try:
+        Groth16.MSM_SEGMENT = 16  # force 4 segments incl. a padded tail
+        got = g16._msm_enc(dc, spec, bases, scalars)
+    finally:
+        Groth16.MSM_SEGMENT = old_seg
+    assert got == want
