@@ -40,6 +40,7 @@ def _small_blob(r):
     return Blob(cells)
 
 
+@pytest.mark.heavy  # host pairing checks: minutes each
 def test_commit_prove_verify(setup):
     r = random.Random(1)
     blob = _small_blob(r)
@@ -52,6 +53,7 @@ def test_commit_prove_verify(setup):
     assert not verify_kzg_proof(com, z, (y + 1) % F.BLS12_381_R, proof)
 
 
+@pytest.mark.heavy  # host pairing checks: minutes each
 def test_in_domain_proof(setup):
     from davinci_tpu.blobs.kzg import _domain
 
