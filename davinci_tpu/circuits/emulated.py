@@ -401,7 +401,24 @@ class EmulatedOps:
     def _int_max(self, a: EmuVar) -> int:
         return sum(a.bound << (self.w * i) for i in range(len(a.limbs)))
 
+    def _const_val(self, a: EmuVar) -> int | None:
+        """The element's value if every limb is a constant LinComb."""
+        if all(l.is_constant() for l in a.limbs):
+            return self.raw_int(a) % self.p
+        return None
+
     def mul(self, a: EmuVar, b: EmuVar) -> EmuVar:
+        # constant folding: towers are full of structurally-constant
+        # coordinates (sparse line evaluations, nonresidue columns); a
+        # constant operand degrades to cmul (linear columns, ~60% of a
+        # mul) or to a free fold
+        ka, kb = self._const_val(a), self._const_val(b)
+        if ka is not None and kb is not None:
+            return self.constant(ka * kb % self.p)
+        if ka is not None:
+            return self.cmul(b, ka)
+        if kb is not None:
+            return self.cmul(a, kb)
         a = self._maybe_reduce(a)
         b = self._maybe_reduce(b)
         v = self.raw_int(a) * self.raw_int(b)

@@ -9,13 +9,13 @@ untwisted Q in Fp6 = Fp3[v]/(v^2-u), Fp3 = Fp[u]/(u^3+4); subfield
 vertical denominators skipped; final exponentiation via the r-th-power
 residue witness.
 
-COST REALITY: one emulated 761-bit mul is ~3k constraints (bit range
-checks), so the full 377-bit Miller loop is tens of millions of
-constraints — buildable but far above CI budgets.  The machinery is
-oracle-tested against the host with TRUNCATED loop lengths (identical
-code, shorter schedule); the full loop is a parameter.  Closing this gap
-for production needs lookup-grade range checks (Groth16 commitment
-extension) — tracked as future work in BENCH_NOTES.md.
+COST REALITY: with bit range checks one emulated 761-bit mul is ~3k
+constraints, so the full 377-bit Miller loop lands in the tens of
+millions; pass `range_checker` (circuits/lookup.LookupRangeChecker) to
+route all range checks through the log-derivative lookup and cut each
+mul to lookup-tier cost.  CI exercises the FULL loop over the toy 2-chain
+outer curve (circuits/toycurve.toy_2chain — identical code, ~90-bit r);
+the production BW6-761 instantiation is gated (scripts/fullsize_c4.py).
 """
 
 from __future__ import annotations
@@ -32,14 +32,29 @@ from davinci_tpu.towers import FF
 
 
 class PairingGadget6:
-    def __init__(self, cs, base_ops=None, loop_bits: int | None = None):
-        ctx = bw6_pairing
+    def __init__(self, cs, ctx=None, base_ops=None,
+                 loop_bits: int | None = None, range_checker=None):
+        """ctx: host BW6PairingCtx (None = BW6-761; toy outer ctxs from
+        circuits/toycurve run the identical gadget at CI scale).
+        range_checker: optional LookupRangeChecker routed into the
+        emulated base ops (the production path — bit range checks
+        otherwise dominate at ~3k constraints per 761-bit mul)."""
+        ctx = ctx or bw6_pairing
         self.cs = cs
         self.ctx = ctx
-        base = base_ops or EmulatedOps(cs, ctx.p)
+        if base_ops is None:
+            if cs.p == ctx.p:
+                from davinci_tpu.circuits.algebra import NativeOps
+
+                base_ops = NativeOps(cs)
+            else:
+                base_ops = EmulatedOps(
+                    cs, ctx.p, range_checker=range_checker
+                )
+        base = base_ops
         self.base = base
-        # Fp3 = Fp[u]/(u^3 + 4): nonresidue -4
-        nr3 = -4 % ctx.p
+        # Fp3 = Fp[u]/(u^3 - nr3): BW6-761 has nr3 = -4
+        nr3 = ctx.fp3_nr % ctx.p
         self.fp3 = CubicOps(
             base, base.constant(nr3), nr_mul=lambda a: base.cmul(a, nr3)
         )
@@ -121,9 +136,16 @@ class PairingGadget6:
                 f = f6.mul(f, self._line_eval(lam, w["T"], w["q6"]))
                 w["T"] = T2
             if b == "1":
+                if self.loop_bits is None and bi == len(bits) - 1:
+                    # full loop: the final add step ALWAYS has T = (r-1)P
+                    # = -P, a vertical line in the Fp3 subfield — killed
+                    # by the final exponentiation; skip it exactly like
+                    # the host (BW6PairingCtx.miller t_inf path).  k = r-1
+                    # cannot arise at any earlier add step (bit prefixes
+                    # of r are < r-1), so only this position degenerates.
+                    continue
                 for w in work:
-                    # final T == -P vertical lines are subfield (skipped on
-                    # the host); with truncated loops they do not arise
+                    # truncated loops: T == -P does not arise
                     lam, T2 = self._g1_add(w["T"], w["P"])
                     f = f6.mul(f, self._line_eval(lam, w["T"], w["q6"]))
                     w["T"] = T2
@@ -174,8 +196,11 @@ class Groth16VerifierGadgetBW6:
     """Verify a BW6-761 Groth16 proof (the aggregator's) inside a BN254
     circuit.  Public-input scalars arrive as boolean bit lists."""
 
-    def __init__(self, cs, vk, loop_bits: int | None = None):
-        self.pg = PairingGadget6(cs, loop_bits=loop_bits)
+    def __init__(self, cs, vk, ctx=None, loop_bits: int | None = None,
+                 range_checker=None):
+        self.pg = PairingGadget6(
+            cs, ctx=ctx, loop_bits=loop_bits, range_checker=range_checker
+        )
         self.cs = cs
         self.vk = vk
         self.nbits = self.pg.ctx.r.bit_length()

@@ -162,18 +162,27 @@ class BW6PairingCtx:
 
     name = "bw6_761"
 
-    def __init__(self):
+    def __init__(self, name=None, g1=None, g2=None, p=None, r=None,
+                 fp3_nr=None, fp=None):
+        """No-arg = BW6-761.  Explicit params build the same 6-tower
+        pairing over any BW6-style curve (G1/G2 over Fp, sextic M-twist by
+        the Fp3 nonresidue) — the toy outer curves of CI 2-chains
+        (circuits/toycurve.toy_2chain)."""
         from davinci_tpu.towers import CubicExt, QuadExt
 
-        self.g1 = C.bw6_g1
-        self.g2 = C.bw6_g2
-        self.p = F.BW6_761_P
-        self.r = F.BW6_761_R
-        fp = C.fp_bw6
+        if name is not None:
+            self.name = name
+        self.g1 = g1 or C.bw6_g1
+        self.g2 = g2 or C.bw6_g2
+        self.p = p or F.BW6_761_P
+        self.r = r or F.BW6_761_R
+        fp = fp or (C.fp_bw6 if g1 is None else g1.fld)
         self.fp = fp
-        self.fp3 = CubicExt(fp, fp(-4), "bw6.fp3")
+        # Fp3 = Fp[u]/(u^3 - nr); BW6-761: u^3 = -4
+        self.fp3_nr = (-4 if fp3_nr is None else fp3_nr) % self.p
+        self.fp3 = CubicExt(fp, fp(self.fp3_nr), f"{self.name}.fp3")
         self.fp6 = QuadExt(
-            self.fp3, FF(self.fp3, (0, 1, 0)), "bw6.fp6"
+            self.fp3, FF(self.fp3, (0, 1, 0)), f"{self.name}.fp6"
         )  # v^2 = u
         self.final_exp = (self.p**6 - 1) // self.r
         assert (self.p**6 - 1) % self.r == 0

@@ -255,3 +255,63 @@ def test_state_transition_blob_binding(batch_setup):
     except AssertionError:  # hint-time detection during the build
         ok = False
     assert not ok
+
+
+def test_state_transition_verify_aggregator(batch_setup):
+    """The PRODUCTION configuration's soundness core: the aggregator proof
+    verified in-circuit (reference statetransition.go:240
+    VerifyAggregatorProof) — full Miller loop + final exp over the toy
+    2-chain outer curve (identical gadget code to BW6-761), lookup tier.
+    The aggregator's single public input IS the batch hash."""
+    import copy
+    from dataclasses import replace
+
+    from davinci_tpu.circuits.toycurve import toy_2chain, toy_2chain_groth16
+    from davinci_tpu.groth16 import ConstraintSystem as CS
+
+    t = toy_2chain()
+    _, outer = toy_2chain_groth16()
+    r6 = t["ctx6"].r
+    params, w = batch_setup
+    # hash_bytes must leave the batch hash inside the outer scalar field
+    # (production: 31 bytes < BW6-761 r = BLS12-377 p; toy r is ~139 bits)
+    hb = (r6.bit_length() - 1) // 8
+    p2 = replace(
+        params, hash_bytes=hb, use_lookup=True,
+        verify_aggregator=True, agg_ctx=t["ctx6"],
+    )
+    bh = w.batch_hash(p2)
+
+    # stand-in aggregator circuit over the toy outer curve: one public
+    # input (the batch hash), arbitrary internal logic
+    cs_agg = CS(r6)
+    pub = cs_agg.pub_input(bh)
+    s = cs_agg.priv_input(bh % 1009)
+    cs_agg.assert_eq(cs_agg.mul(s, 1) + (bh - bh % 1009), pub)
+    pk, vk = outer.setup(cs_agg)
+    agg_proof = outer.prove(pk, cs_agg, r_rand=5, s_rand=9)
+    assert outer.verify(vk, agg_proof, [bh])
+
+    p2 = replace(p2, agg_vk=vk)
+    w2 = copy.copy(w)
+    w2.agg_proof = agg_proof
+    cs = build_state_transition_circuit(p2, w2, challenge=0x1CEB00DA777, blind=5)
+    assert cs.check_satisfied(), cs.first_unsatisfied()
+
+    # a proof for a DIFFERENT batch hash must break
+    cs_agg2 = CS(r6)
+    bh2 = (bh + 1) % r6
+    pub = cs_agg2.pub_input(bh2)
+    s = cs_agg2.priv_input(bh2 % 1009)
+    cs_agg2.assert_eq(cs_agg2.mul(s, 1) + (bh2 - bh2 % 1009), pub)
+    wrong = outer.prove(pk, cs_agg2, r_rand=5, s_rand=9)
+    w3 = copy.copy(w)
+    w3.agg_proof = wrong
+    try:
+        cs2 = build_state_transition_circuit(
+            p2, w3, challenge=0x1CEB00DA777, blind=5
+        )
+        ok = cs2.check_satisfied()
+    except AssertionError:  # residue-witness hint detects the mismatch
+        ok = False
+    assert not ok
