@@ -205,20 +205,18 @@ class DeviceField:
     # -- host boundary ------------------------------------------------------
 
     def encode(self, xs) -> jnp.ndarray:
-        """list[int] (normal form) -> (n, L) device array in Montgomery form."""
-        return jnp.asarray(
-            self.spec.batch_to_limbs([x * self.spec.r % self.spec.p for x in xs])
-        )
+        """list[int] (normal form) -> (n, L) device array in Montgomery form.
+        The Montgomery scaling runs on device (one mul by R^2) — per-element
+        host bignum muls were a measurable prove-path cost at 2^17+ sizes."""
+        return self.to_mont(jnp.asarray(self.spec.batch_to_limbs(xs)))
 
     def encode_scalar(self, x: int) -> jnp.ndarray:
         return jnp.asarray(self.spec.to_limbs(x * self.spec.r % self.spec.p))
 
     def decode(self, arr) -> list[int]:
-        """(..., L) Montgomery limbs -> list of ints in normal form."""
-        rinv = pow(self.spec.r, -1, self.spec.p)
-        return [
-            x * rinv % self.spec.p for x in self.spec.batch_from_limbs(np.asarray(arr))
-        ]
+        """(..., L) Montgomery limbs -> list of ints in normal form (the
+        un-scaling REDC runs on device; limb unpack is bytes-vectorized)."""
+        return self.spec.batch_from_limbs(np.asarray(self.from_mont(arr)))
 
     # -- non-Montgomery (raw residue) boundary ------------------------------
 

@@ -176,13 +176,57 @@ class FieldSpec:
         return x % self.p
 
     def batch_to_limbs(self, xs) -> np.ndarray:
-        """Iterable of ints -> (n, num_limbs) int32."""
-        return np.stack([self.to_limbs(int(x)) for x in xs])
+        """Iterable of ints -> (n, num_limbs) int32, reduced mod p.
+
+        Bytes-vectorized: one C-level to_bytes per element plus numpy
+        nibble unpacking (12-bit limbs = 3 nibbles) — the per-element
+        per-limb Python loop was a dominant host cost of Groth16 proving
+        (witness/NTT vectors are millions of elements at c2 scale)."""
+        xs = xs if isinstance(xs, list) else list(xs)
+        n = len(xs)
+        L = self.num_limbs
+        if n == 0:
+            return np.zeros((0, L), np.int32)
+        p = self.p
+        Lp = L + (L & 1)  # even limb count: 3 bytes <-> 2 limbs exactly
+        nb = 3 * Lp // 2
+        raw = b"".join([(int(x) % p).to_bytes(nb, "little") for x in xs])
+        g = (
+            np.frombuffer(raw, np.uint8)
+            .reshape(n, Lp // 2, 3)
+            .astype(np.int32)
+        )
+        out = np.empty((n, Lp // 2, 2), np.int32)
+        out[..., 0] = g[..., 0] | ((g[..., 1] & 0xF) << 8)
+        out[..., 1] = (g[..., 1] >> 4) | (g[..., 2] << 4)
+        return np.ascontiguousarray(out.reshape(n, Lp)[:, :L])
 
     def batch_from_limbs(self, arr) -> list[int]:
-        arr = np.asarray(arr)
+        """(n, num_limbs) canonical limbs -> list of ints mod p (inverse of
+        batch_to_limbs; same bytes-vectorized scheme)."""
+        arr = np.ascontiguousarray(np.asarray(arr, np.int64))
         flat = arr.reshape(-1, arr.shape[-1])
-        return [self.from_limbs(row) for row in flat]
+        n, L = flat.shape
+        if n == 0:
+            return []
+        if (flat < 0).any() or (flat >> LIMB_BITS).any():
+            # non-canonical limbs: exact per-row path
+            return [self.from_limbs(row) for row in flat]
+        Lp = L + (L & 1)
+        nb = 3 * Lp // 2
+        if Lp != L:
+            flat = np.pad(flat, ((0, 0), (0, Lp - L)))
+        pair = flat.reshape(n, Lp // 2, 2)
+        g = np.empty((n, Lp // 2, 3), np.uint8)
+        g[..., 0] = pair[..., 0] & 0xFF
+        g[..., 1] = (pair[..., 0] >> 8) | ((pair[..., 1] & 0xF) << 4)
+        g[..., 2] = pair[..., 1] >> 4
+        data = g.tobytes()
+        p = self.p
+        return [
+            int.from_bytes(data[i * nb : (i + 1) * nb], "little") % p
+            for i in range(n)
+        ]
 
     def to_mont(self, x: int) -> int:
         return x * self.r % self.p

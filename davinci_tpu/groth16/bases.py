@@ -20,7 +20,7 @@ class EncodedBases:
     """(X, Y, Z) numpy int32 arrays shaped (n, L) (G1) or (n, 2, L) (G2),
     Montgomery limbs, z in {0, one_mont} per the MSM affine contract."""
 
-    __slots__ = ("x", "y", "z", "_dev")
+    __slots__ = ("x", "y", "z", "_dev", "_dev_padded")
 
     def __init__(self, x, y, z):
         self.x = np.asarray(x, np.int32)
@@ -28,6 +28,7 @@ class EncodedBases:
         self.z = np.asarray(z, np.int32)
         assert self.x.shape == self.y.shape == self.z.shape
         self._dev = None
+        self._dev_padded = None
 
     def __len__(self) -> int:
         return self.x.shape[0]
@@ -44,8 +45,23 @@ class EncodedBases:
             )
         return self._dev
 
+    def device_padded(self, seg: int) -> tuple:
+        """Device arrays zero-padded to `seg` rows (uploaded once, cached) —
+        the fixed MSM compile shape on TPU."""
+        if self._dev_padded is None or self._dev_padded[0].shape[0] != seg:
+            import jax.numpy as jnp
+
+            pads = ((0, seg - self.x.shape[0]),) + ((0, 0),) * (
+                self.x.ndim - 1
+            )
+            self._dev_padded = tuple(
+                jnp.asarray(np.pad(a, pads)) for a in (self.x, self.y, self.z)
+            )
+        return self._dev_padded
+
     def drop_device(self):
         self._dev = None
+        self._dev_padded = None
 
     def __eq__(self, other):
         if not isinstance(other, EncodedBases):

@@ -357,8 +357,6 @@ class Groth16:
 
     def prove(self, pk: ProvingKey, cs, r_rand=None, s_rand=None) -> Proof:
         """Prove a *solved* ConstraintSystem (witness inside)."""
-        with log.debug_time("groth16.check_satisfied"):
-            assert cs.check_satisfied(), "witness does not satisfy constraints"
         r = self.r
         rng = _random.Random()
         rr = rng.randrange(r) if r_rand is None else r_rand
@@ -368,10 +366,20 @@ class Groth16:
         N = 1 << pk.domain_log
 
         # --- quotient polynomial h on device -----------------------------
-        with log.info_time(
-            "groth16.witness_reduce", n_constraints=len(cs.constraints)
-        ):
+        n_cons = len(cs.constraints)
+        with log.info_time("groth16.witness_reduce", n_constraints=n_cons):
             az, bz, czv = cs.matvec_all(z, N)
+            # satisfaction check rides on the same reduction (a second
+            # full matvec via check_satisfied doubled the host cost)
+            a = np.empty(n_cons, object)
+            a[:] = az[:n_cons]
+            b = np.empty(n_cons, object)
+            b[:] = bz[:n_cons]
+            c = np.empty(n_cons, object)
+            c[:] = czv[:n_cons]
+            assert bool(
+                (((a * b - c) % r) == 0).all()
+            ), "witness does not satisfy constraints"
 
         with log.info_time("groth16.quotient_ntt", domain=N):
             df = self.ntt.df
@@ -384,27 +392,30 @@ class Groth16:
             zc_inv = pow((pow(g, N, r) - 1) % r, -1, r)
             he = df.mul(num, df.encode_scalar(zc_inv))
             h_coeffs = self.ntt.coset_intt(he)
-            h = df.decode(h_coeffs)
-            assert h[N - 1] == 0, "quotient degree overflow"
+            # raw base-2^12 limbs ARE the MSM scalar format (WINDOW_BITS ==
+            # LIMB_BITS): h feeds the z_g1 MSM without a host round-trip
+            h_raw = df.from_mont(h_coeffs)
+            assert not bool(jnp.any(h_raw[N - 1] != 0)), (
+                "quotient degree overflow"
+            )
 
         # --- MSMs ---------------------------------------------------------
         with log.info_time("groth16.msms", n_vars=len(z)):
-            a_scalars = (
-                [z[i] for i in pk.a_indices] if pk.a_indices is not None else z
-            )
-            b_scalars = (
-                [z[i] for i in pk.b_indices] if pk.b_indices is not None else z
-            )
-            a_lin = self._msm_enc(self.dc, self.g1, pk.a_g1, a_scalars)
-            b1_lin = self._msm_enc(self.dc, self.g1, pk.b_g1, b_scalars)
+            # ONE bytes-vectorized host pass over the witness; per-MSM
+            # scalar sets are numpy gathers of it
+            Z = scalars_to_limbs(self.g1, z)
+            a_S = Z[pk.a_indices] if pk.a_indices is not None else Z
+            b_S = Z[pk.b_indices] if pk.b_indices is not None else Z
+            a_lin = self._msm_enc(self.dc, self.g1, pk.a_g1, a_S)
+            b1_lin = self._msm_enc(self.dc, self.g1, pk.b_g1, b_S)
             npub = 1 + cs.num_public
             if pk.k_priv_indices is not None:
-                k_scalars = [z[i] for i in pk.k_priv_indices]
+                k_S = Z[np.asarray(pk.k_priv_indices, np.int64)]
             else:
-                k_scalars = z[npub:]
-            k_lin = self._msm_enc(self.dc, self.g1, pk.k_g1, k_scalars)
-            h_lin = self._msm_enc(self.dc, self.g1, pk.z_g1, h[: N - 1])
-            b2_lin = self._msm_enc(self.dc2, self.g2, pk.b_g2, b_scalars)
+                k_S = Z[npub:]
+            k_lin = self._msm_enc(self.dc, self.g1, pk.k_g1, k_S)
+            h_lin = self._msm_enc(self.dc, self.g1, pk.z_g1, h_raw[: N - 1])
+            b2_lin = self._msm_enc(self.dc2, self.g2, pk.b_g2, b_S)
 
         # --- assembly (host, tiny) ---------------------------------------
         A = pk.alpha_g1.add(a_lin).add(pk.delta_g1.mul(rr))
@@ -511,50 +522,67 @@ class Groth16:
     MSM_SEGMENT = 1 << 18
 
     def _msm_enc(self, dc, gspec, bases: EncodedBases, scalars):
-        """MSM over pre-encoded bases, segmented at MSM_SEGMENT."""
-        assert len(bases) == len(scalars)
+        """MSM over pre-encoded bases, segmented at MSM_SEGMENT.
+
+        `scalars` is either a list of host ints or an (n, W) raw base-2^12
+        limb array (numpy or device — e.g. the quotient straight off the
+        NTT, never round-tripped through Python)."""
         n = len(bases)
-        if n == 0 or not any(scalars):
+        if getattr(scalars, "ndim", None) == 2:
+            S_full = scalars
+        else:
+            S_full = scalars_to_limbs(gspec, scalars)
+        assert n == S_full.shape[0]
+        if n == 0 or not bool(S_full.any()):
             return gspec.infinity()
         seg = self.MSM_SEGMENT
         if n <= seg:
-            # small circuits: resident bases, natural (pow2-padded) shape
-            S = jnp.asarray(scalars_to_limbs(gspec, scalars))
-            out = msm(dc, bases.device(), S)
+            if jax.default_backend() == "tpu":
+                # ONE compile shape for every proving-key MSM on the TPU:
+                # the axon backend's per-shape AOT compile costs ~10 min,
+                # so padding small circuits to the segment shape (one
+                # cached executable per curve/group) beats a "natural"
+                # shape by orders of magnitude on first prove
+                return self._msm_enc_padded(dc, gspec, bases, S_full, seg)
+            # CPU tests: natural (pow2-padded) shape compiles fast
+            out = msm(dc, bases.device(), jnp.asarray(S_full))
             return dc.decode_points(tuple(a[None] for a in out))[0]
+        return self._msm_enc_segmented(dc, gspec, bases, S_full, seg)
+
+    def _msm_enc_padded(self, dc, gspec, bases, S_full, seg):
+        """One fixed-(seg)-shape MSM: bases/scalars zero-padded to seg."""
+        arrs = bases.device_padded(seg)
+        if S_full.shape[0] != seg:
+            if isinstance(S_full, np.ndarray):
+                S = np.pad(S_full, ((0, seg - S_full.shape[0]), (0, 0)))
+            else:
+                S = jnp.pad(S_full, ((0, seg - S_full.shape[0]), (0, 0)))
+        else:
+            S = S_full
+        out = msm(dc, arrs, jnp.asarray(S))
+        return dc.decode_points(tuple(a[None] for a in out))[0]
+
+    def _msm_enc_segmented(self, dc, gspec, bases, S_full, seg):
+        n = len(bases)
         total = gspec.infinity()
         shape_tail = bases.x.shape[1:]
         for ofs in range(0, n, seg):
             hi = min(ofs + seg, n)
-            part = scalars[ofs:hi]
-            if not any(part):
+            S = S_full[ofs:hi]
+            if not bool(S.any()):
                 continue
             pads = ((0, seg - (hi - ofs)),) + ((0, 0),) * len(shape_tail)
             arrs = tuple(
                 jnp.asarray(np.pad(a[ofs:hi], pads))
                 for a in (bases.x, bases.y, bases.z)
             )
-            S = scalars_to_limbs(gspec, part)
             if S.shape[0] != seg:
-                S = np.pad(S, ((0, seg - S.shape[0]), (0, 0)))
+                S = jnp.pad(jnp.asarray(S), ((0, seg - S.shape[0]), (0, 0)))
             out = msm(dc, arrs, jnp.asarray(S))
             total = total.add(
                 dc.decode_points(tuple(a[None] for a in out))[0]
             )
         return total
-
-    def _msm_pts(self, dc, gspec, pts, scalars):
-        """MSM over host AffinePoint lists (small, vk-side helpers)."""
-        assert len(pts) == len(scalars)
-        nz = [(p, s) for p, s in zip(pts, scalars) if s and not p.infinity]
-        if not nz:
-            return gspec.infinity()
-        pts_nz = [p for p, _ in nz]
-        sc_nz = [s for _, s in nz]
-        P = dc.encode_points(pts_nz)
-        S = jnp.asarray(scalars_to_limbs(gspec, sc_nz))
-        out = msm(dc, P, S)
-        return dc.decode_points(tuple(a[None] for a in out))[0]
 
     # ----------------------------------------------------------------- verify
 
