@@ -94,6 +94,13 @@ class LookupRangeChecker:
         gamma = cs.commit(
             self._checked + m_vars, challenge_value, blind_value
         )
+        # record the challenge-dependent wires so refinalize() can re-solve
+        # them in place instead of rebuilding the whole circuit (the
+        # second full Python build per committed prove was ~half the
+        # host-side prove cost at c2 scale)
+        self._gamma_idx = cs.challenge_idx
+        self._inv_idx: list = []
+        self._prod_idx: list = []
 
         # Accumulate the two sums with ONE dict pass: LinComb.__add__ copies
         # its dict, so a rolling `acc = acc + term` over ~1e5 inverses is
@@ -105,14 +112,50 @@ class LookupRangeChecker:
                     t[k] = (t.get(k, 0) + v) % cs.p
             return LinComb(cs, {k: v for k, v in t.items() if v})
 
+        def _inv(x):
+            out = cs.inv(x)
+            ((i, _),) = out.terms.items()
+            self._inv_idx.append(i)
+            return out
+
+        def _mul(a, b):
+            out = cs.mul(a, b)
+            ((i, _),) = out.terms.items()
+            self._prod_idx.append(i)
+            return out
+
         # LHS: sum 1/(gamma - v_i); inv() pins gamma != v_i (negligible)
-        lhs = fast_sum([cs.inv(gamma - v) for v in self._checked])
+        lhs = fast_sum([_inv(gamma - v) for v in self._checked])
         # RHS: sum m_j / (gamma - j) — denominators are linear in gamma
         rhs = fast_sum(
-            [
-                cs.mul(m_vars[j], cs.inv(gamma - cs.constant(j)))
-                for j in range(n_table)
-            ]
+            [_mul(m_vars[j], _inv(gamma - cs.constant(j))) for j in range(n_table)]
         )
         cs.assert_eq(lhs, rhs)
+        self._m_idx = [list(m.terms)[0] for m in m_vars]
         return gamma
+
+    def refinalize(self, challenge_value: int):
+        """Re-solve the challenge-dependent wires in place for a new
+        challenge — structure is challenge-independent, so the already-
+        built system stays valid (Groth16.prove_committed's second phase
+        without a second circuit build)."""
+        assert self._finalized, "finalize() first"
+        cs, p = self.cs, self.cs.p
+        n_table = 1 << self.tb
+        assert challenge_value == 0 or challenge_value >= n_table, (
+            "challenge collides with the lookup table range"
+        )
+        g = challenge_value % p
+        cs.values[self._gamma_idx] = g
+        vals = [v.value for v in self._checked]
+        invs = [pow((g - v) % p, -1, p) for v in vals]
+        table_invs = [pow((g - j) % p, -1, p) for j in range(n_table)]
+        # finalize() allocation order: one inv per checked value, then per
+        # table entry an inv and a product
+        for idx, iv in zip(self._inv_idx[: len(vals)], invs):
+            cs.values[idx] = iv
+        for j in range(n_table):
+            cs.values[self._inv_idx[len(vals) + j]] = table_invs[j]
+            cs.values[self._prod_idx[j]] = (
+                cs.values[self._m_idx[j]] * table_invs[j] % p
+            )

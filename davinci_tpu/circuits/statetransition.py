@@ -508,6 +508,7 @@ def build_state_transition_circuit(
 
     if rc is not None:
         rc.finalize(challenge, blind)
+        cs._refinalize = rc.refinalize
     return cs
 
 

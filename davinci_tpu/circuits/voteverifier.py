@@ -195,6 +195,7 @@ def build_vote_verifier_circuit(
             cs.assert_eq(cs.from_bits(h_bits[:VOTE_HASH_BITS]), vote_hash_pub)
         if rc is not None:
             rc.finalize(challenge, blind)
+            cs._refinalize = rc.refinalize
         return cs
 
     # Poseidon over the BN254 hash field, emulated here (one per vote);
@@ -217,6 +218,7 @@ def build_vote_verifier_circuit(
 
     if rc is not None:
         rc.finalize(challenge, blind)
+        cs._refinalize = rc.refinalize
     return cs
 
 

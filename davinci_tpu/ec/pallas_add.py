@@ -218,3 +218,113 @@ def point_add(curve, p, q, interpret=False):
         L, df.p_limbs, df.nprime_limbs, curve.b3, *flat_t, interpret
     )
     return tuple(a.T[:n].reshape(shape) for a in (x3, y3, z3))
+
+
+# ---------------------------------------------------------------------------
+# Fp2 (G2) variant — coordinates are component pairs stacked on the limb
+# axis: one (2L, N) block per coordinate.  An Fp2 mul is Karatsuba over the
+# base-field column ops (4 base muls; 3 when the nonresidue is -1), so the
+# whole RCB15 formula still runs VMEM-resident — the jnp Fp2 path's HBM
+# intermediates made the G2 proving-key MSM ~25x the G1 kernel cost
+# (measured 17.4 s for a 2^18 G2 MSM vs 0.26 s G1).
+# ---------------------------------------------------------------------------
+
+TILE_N2 = 256
+
+
+def _make_fp2_ops(p_cols, np_cols, nr_cols, nr_is_m1, L):
+    mul, add, sub = _make_field_ops(p_cols, np_cols, L)
+
+    def add2(a, b):
+        return (add(a[0], b[0]), add(a[1], b[1]))
+
+    def sub2(a, b):
+        return (sub(a[0], b[0]), sub(a[1], b[1]))
+
+    def mul2(a, b):
+        a0, a1 = a
+        b0, b1 = b
+        t0 = mul(a0, b0)
+        t1 = mul(a1, b1)
+        mid = mul(add(a0, a1), add(b0, b1))
+        c1 = sub(sub(mid, t0), t1)
+        if nr_is_m1:
+            c0 = sub(t0, t1)
+        else:
+            c0 = add(t0, mul(nr_cols, t1))
+        return (c0, c1)
+
+    return mul2, add2, sub2
+
+
+def _point_add2_kernel(nr_flag, p_ref, np_ref, nr_ref, b3_ref,
+                       x1r, y1r, z1r, x2r, y2r, z2r, x3r, y3r, z3r):
+    L = p_ref.shape[0]
+    p_cols = [p_ref[i, 0] for i in range(L)]
+    np_cols = [np_ref[i, 0] for i in range(L)]
+    nr_cols = [nr_ref[i, 0] for i in range(L)]
+    b3 = ([b3_ref[i, 0] for i in range(L)],
+          [b3_ref[L + i, 0] for i in range(L)])
+    mul2, add2, sub2 = _make_fp2_ops(p_cols, np_cols, nr_cols, nr_flag, L)
+
+    def rd(ref):
+        return ([ref[i, :] for i in range(L)],
+                [ref[L + i, :] for i in range(L)])
+
+    P1 = (rd(x1r), rd(y1r), rd(z1r))
+    P2 = (rd(x2r), rd(y2r), rd(z2r))
+    X3, Y3, Z3 = _rcb15(mul2, add2, sub2, b3, P1, P2)
+    for out_ref, (c0, c1) in zip((x3r, y3r, z3r), (X3, Y3, Z3)):
+        for i in range(L):
+            out_ref[i, :] = c0[i]
+            out_ref[L + i, :] = c1[i]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 12))
+def _point_add2_pallas(L, nr_is_m1, p_limbs, np_limbs, nr_limbs, b3_limbs,
+                       x1, y1, z1, x2, y2, z2, interpret=False):
+    n = x1.shape[1]
+    grid = (n // TILE_N2,)
+    const1 = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    const2 = pl.BlockSpec((2 * L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    data = pl.BlockSpec((2 * L, TILE_N2), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((2 * L, n), jnp.int32)
+    kernel = functools.partial(_point_add2_kernel, nr_is_m1)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid=grid,
+        in_specs=[const1] * 3 + [const2] + [data] * 6,
+        out_specs=(data, data, data),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        p_limbs[:, None], np_limbs[:, None], nr_limbs[:, None],
+        b3_limbs.reshape(2 * L)[:, None],
+        x1, y1, z1, x2, y2, z2,
+    )
+
+
+def point_add_fp2(curve, p, q, interpret=False):
+    """Fused complete Fp2 addition; p, q: (X, Y, Z) shaped (..., 2, L)."""
+    ops = curve.ops
+    df = ops.df
+    L = df.L
+    shape = p[0].shape
+    flat = [a.reshape(-1, 2 * L) for a in (*p, *q)]
+    n = flat[0].shape[0]
+    n_pad = -(-n // TILE_N2) * TILE_N2
+    if n_pad != n:
+        flat = [jnp.pad(a, ((0, n_pad - n), (0, 0))) for a in flat]
+    flat_t = [a.T for a in flat]
+    nr_is_m1 = ops.nr % df.spec.p == df.spec.p - 1
+    x3, y3, z3 = _point_add2_pallas(
+        L, nr_is_m1, df.p_limbs, df.nprime_limbs, ops.nr_mont, curve.b3,
+        *flat_t, interpret,
+    )
+    return tuple(
+        a.T[:n].reshape(shape) for a in (x3, y3, z3)
+    )

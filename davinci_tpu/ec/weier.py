@@ -62,12 +62,10 @@ class DeviceCurve:
                 ]
             )
         self._eshape = (2, self.df.L) if self.ops.coord_ndim == 2 else (self.df.L,)
-        # On TPU, prime-field point additions run as one fused Pallas kernel
-        # (the jnp composition's HBM intermediates dominate at MSM batch
-        # sizes — measured ~9x); CPU and Fp2 curves use the jnp path.
-        self._pallas_add = (
-            jax.default_backend() == "tpu" and self.ops.coord_ndim == 1
-        )
+        # On TPU, point additions run as one fused Pallas kernel (the jnp
+        # composition's HBM intermediates dominate at MSM batch sizes —
+        # measured ~9x for G1, ~25x for Fp2 G2); CPU uses the jnp path.
+        self._pallas_add = jax.default_backend() == "tpu"
         self.add = jax.jit(self.add)
         self.double = jax.jit(self.double)
         self.scalar_mul = jax.jit(self.scalar_mul)
@@ -147,12 +145,13 @@ class DeviceCurve:
     def add(self, p, q):
         """Complete projective addition, RCB15 Algorithm 7 (a=0, 12M)."""
         if self._pallas_add:
-            from davinci_tpu.ec.pallas_add import point_add
+            from davinci_tpu.ec.pallas_add import point_add, point_add_fp2
 
             px, qx = jnp.broadcast_arrays(p[0], q[0])
             py, qy = jnp.broadcast_arrays(p[1], q[1])
             pz, qz = jnp.broadcast_arrays(p[2], q[2])
-            return point_add(self, (px, py, pz), (qx, qy, qz))
+            fn = point_add_fp2 if self.ops.coord_ndim == 2 else point_add
+            return fn(self, (px, py, pz), (qx, qy, qz))
         f = self.ops
         X1, Y1, Z1 = p
         X2, Y2, Z2 = q

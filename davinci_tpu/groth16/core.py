@@ -32,7 +32,11 @@ from davinci_tpu.curves import AffinePoint
 from davinci_tpu.ec import get_device_curve
 from davinci_tpu.groth16.bases import EncodedBases
 from davinci_tpu.msm import msm
-from davinci_tpu.msm.pippenger import scalars_to_limbs
+from davinci_tpu.msm.pippenger import (
+    pack_scalars,
+    scalars_to_limbs,
+    unpack_limbs,
+)
 from davinci_tpu.ntt import get_device_ntt
 from davinci_tpu.pairing import PAIRINGS
 
@@ -401,18 +405,33 @@ class Groth16:
 
         # --- MSMs ---------------------------------------------------------
         with log.info_time("groth16.msms", n_vars=len(z)):
-            # ONE bytes-vectorized host pass over the witness; per-MSM
-            # scalar sets are numpy gathers of it
-            Z = scalars_to_limbs(self.g1, z)
-            a_S = Z[pk.a_indices] if pk.a_indices is not None else Z
-            b_S = Z[pk.b_indices] if pk.b_indices is not None else Z
+            npub = 1 + cs.num_public
+            if jax.default_backend() == "tpu":
+                # upload the witness ONCE as packed uint32 words (32 B per
+                # scalar vs 88 B expanded); per-MSM scalar sets are device
+                # gathers + a device unpack — the 3x expanded-limb uploads
+                # over the axon tunnel were a measured per-prove cost
+                W = -(-self.g1.r.bit_length() // 12)
+                Zp = jnp.asarray(pack_scalars(self.g1, z))
+                ai, bi, ki = self._pk_dev_indices(pk, npub, len(z))
+                a_S = unpack_limbs(
+                    Zp if ai is None else jnp.take(Zp, ai, axis=0), W
+                )
+                b_S = unpack_limbs(
+                    Zp if bi is None else jnp.take(Zp, bi, axis=0), W
+                )
+                k_S = unpack_limbs(jnp.take(Zp, ki, axis=0), W)
+            else:
+                # CPU tests: one bytes-vectorized host pass + numpy gathers
+                Z = scalars_to_limbs(self.g1, z)
+                a_S = Z[pk.a_indices] if pk.a_indices is not None else Z
+                b_S = Z[pk.b_indices] if pk.b_indices is not None else Z
+                if pk.k_priv_indices is not None:
+                    k_S = Z[np.asarray(pk.k_priv_indices, np.int64)]
+                else:
+                    k_S = Z[npub:]
             a_lin = self._msm_enc(self.dc, self.g1, pk.a_g1, a_S)
             b1_lin = self._msm_enc(self.dc, self.g1, pk.b_g1, b_S)
-            npub = 1 + cs.num_public
-            if pk.k_priv_indices is not None:
-                k_S = Z[np.asarray(pk.k_priv_indices, np.int64)]
-            else:
-                k_S = Z[npub:]
             k_lin = self._msm_enc(self.dc, self.g1, pk.k_g1, k_S)
             h_lin = self._msm_enc(self.dc, self.g1, pk.z_g1, h_raw[: N - 1])
             b2_lin = self._msm_enc(self.dc2, self.g2, pk.b_g2, b_S)
@@ -448,7 +467,15 @@ class Groth16:
             self.dc, self.g1, pk.k_commit_eta_g1, committed_vals
         )
         challenge = self.commitment_challenge(D)
-        cs = build_fn(challenge, blind)
+        refinalize = getattr(cs0, "_refinalize", None)
+        if refinalize is not None:
+            # incremental phase 2: only the challenge-dependent wires
+            # (lookup inverse hints) are re-solved in place — the second
+            # full Python circuit build was ~half the host prove cost
+            refinalize(challenge)
+            cs = cs0
+        else:
+            cs = build_fn(challenge, blind)
         assert [cs.values[i] for i in cs.committed] == committed_vals, (
             "committed wires must not depend on the challenge"
         )
@@ -513,6 +540,25 @@ class Groth16:
             ]
         )
 
+    def _pk_dev_indices(self, pk, npub: int, m: int):
+        """Device index arrays for the a/b/k witness gathers, cached on
+        the ProvingKey (uploaded once per process)."""
+        cached = getattr(pk, "_dev_idx", None)
+        if cached is not None:
+            return cached
+        ai = None if pk.a_indices is None else jnp.asarray(
+            np.asarray(pk.a_indices, np.int32)
+        )
+        bi = None if pk.b_indices is None else jnp.asarray(
+            np.asarray(pk.b_indices, np.int32)
+        )
+        if pk.k_priv_indices is not None:
+            ki = jnp.asarray(np.asarray(pk.k_priv_indices, np.int32))
+        else:
+            ki = jnp.arange(npub, m, dtype=jnp.int32)
+        pk._dev_idx = (ai, bi, ki)
+        return pk._dev_idx
+
     # MSM segment size: proving-key MSMs always run at this fixed shape
     # (tail zero-padded), so (a) every MSM in every circuit shares ONE
     # compiled graph — per-shape XLA/AOT recompiles measured 10+ minutes
@@ -520,6 +566,9 @@ class Groth16:
     # bounded for multi-million-point keys (segments are uploaded per
     # call; partials are folded with host point adds).
     MSM_SEGMENT = 1 << 18
+    # G2 (Fp2) adds run ~20x the G1 pallas-kernel cost per point, so the
+    # fixed G2 compile shape is smaller to bound pad waste
+    MSM_SEGMENT_G2 = 1 << 16
 
     def _msm_enc(self, dc, gspec, bases: EncodedBases, scalars):
         """MSM over pre-encoded bases, segmented at MSM_SEGMENT.
@@ -535,7 +584,11 @@ class Groth16:
         assert n == S_full.shape[0]
         if n == 0 or not bool(S_full.any()):
             return gspec.infinity()
-        seg = self.MSM_SEGMENT
+        seg = (
+            self.MSM_SEGMENT_G2
+            if dc.ops.coord_ndim == 2
+            else self.MSM_SEGMENT
+        )
         if n <= seg:
             if jax.default_backend() == "tpu":
                 # ONE compile shape for every proving-key MSM on the TPU:

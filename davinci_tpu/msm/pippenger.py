@@ -706,6 +706,39 @@ def scalars_to_limbs(spec, scalars) -> np.ndarray:
     return S
 
 
+def pack_scalars(spec, scalars) -> np.ndarray:
+    """Host ints -> (n, P) uint32 little-endian words — the compact
+    device-upload form (32 B per 254-bit scalar vs 88 B of expanded
+    limbs; the per-MSM scalar upload over the axon tunnel was a measured
+    prove-path cost).  Unpack on device with unpack_limbs."""
+    nwords = -(-spec.r.bit_length() // 32)
+    n = len(scalars)
+    if n == 0:
+        return np.zeros((0, nwords), np.uint32)
+    r = spec.r
+    raw = b"".join([(int(s) % r).to_bytes(4 * nwords, "little") for s in scalars])
+    return np.frombuffer(raw, np.uint32).reshape(n, nwords).copy()
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def unpack_limbs(packed: jnp.ndarray, W: int) -> jnp.ndarray:
+    """(n, P) uint32 words -> (n, W) int32 base-2^12 window limbs, on
+    device (inverse of the scalars_to_limbs layout)."""
+    pk = packed.astype(jnp.uint32)
+    pk = jnp.concatenate(
+        [pk, jnp.zeros(pk.shape[:-1] + (1,), jnp.uint32)], axis=-1
+    )
+    cols = []
+    for j in range(W):
+        bit = WINDOW_BITS * j
+        w, sh = bit // 32, bit % 32
+        v = pk[..., w] >> sh
+        if sh > 32 - WINDOW_BITS:
+            v = v | (pk[..., w + 1] << (32 - sh))
+        cols.append(v & (NBUCKETS - 1))
+    return jnp.stack(cols, axis=-1).astype(jnp.int32)
+
+
 def msm_host_input(curve, affine_points, scalars):
     """Convenience: host AffinePoints + int scalars -> device MSM -> host
     AffinePoint."""

@@ -75,6 +75,35 @@ def test_committed_groth16_end_to_end():
     assert not g16.verify_committed(vk, bad2, [7])
 
 
+def test_committed_incremental_refinalize():
+    """The incremental phase-2 path: a builder that attaches
+    cs._refinalize (as the circuit-2/4 builders do) must prove without a
+    second build, bit-identical verification semantics."""
+    g16 = Groth16("bn254")
+    vals = [3, 200, 255, 0]
+    builds = []
+
+    def build(challenge, blind):
+        cs = ConstraintSystem(F.BN254_R)
+        marker = cs.pub_input(7)
+        rc = LookupRangeChecker(cs, table_bits=8)
+        for v in vals:
+            rc.range_check(cs.priv_input(v), 8)
+        rc.finalize(challenge, blind)
+        cs._refinalize = rc.refinalize
+        cs.assert_eq(marker, cs.constant(7))
+        builds.append(1)
+        return cs
+
+    pk, vk = g16.setup(build(0, 0))
+    builds.clear()
+    rng = random.Random(11)
+    proof = g16.prove_committed(pk, build, rng=rng, r_rand=5, s_rand=9)
+    assert len(builds) == 1, "incremental path must not rebuild"
+    assert g16.verify_committed(vk, proof, [7])
+    assert not g16.verify_committed(vk, proof, [8])
+
+
 def test_emulated_with_lookup_checker_cost():
     """EmulatedOps routed through the lookup checker: correctness + the
     constraint-count win vs bit decomposition."""
