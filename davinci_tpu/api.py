@@ -15,8 +15,10 @@ lands with the ballotproof circuit)."""
 from __future__ import annotations
 
 import json
+import os
 import re
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from davinci_tpu import spec
@@ -65,6 +67,7 @@ class API:
             ("GET", re.compile(r"^/censuses/(\d+)/proof/(\d+)$"), self.census_proof),
             ("GET", re.compile(r"^/sequencer/stats/(\d+)$"), self.stats),
             ("GET", re.compile(r"^/info$"), self.info),
+            ("GET", re.compile(r"^/hostLoad$"), self.host_load),
             ("GET", re.compile(r"^/app/?$"), self.webapp),
         ]
 
@@ -309,6 +312,50 @@ class API:
             },
         }
 
+    def host_load(self, body=None):
+        """System metrics (reference api/info.go:35-68 hostLoad): 1-min
+        load average, memory/disk used percentages, process RSS."""
+        import shutil
+
+        out = {"hostLoad1": 0.0, "hostMemUsedPercent": 0.0,
+               "hostDiskUsedPercent": {}, "memStats": {}}
+        try:
+            out["hostLoad1"] = os.getloadavg()[0]
+        except OSError:
+            pass
+        try:
+            with open("/proc/meminfo") as f:
+                mem = {
+                    k.rstrip(":"): int(v.split()[0])
+                    for k, v, *_ in (
+                        line.split(None, 2) for line in f if line.strip()
+                    )
+                }
+            total = mem.get("MemTotal", 0)
+            avail = mem.get("MemAvailable", 0)
+            if total:
+                out["hostMemUsedPercent"] = round(
+                    100.0 * (total - avail) / total, 2
+                )
+        except (OSError, ValueError):
+            pass
+        try:
+            du = shutil.disk_usage("/")
+            out["hostDiskUsedPercent"]["/"] = round(
+                100.0 * du.used / du.total, 2
+            )
+        except OSError:
+            pass
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        out["memStats"]["rssKiB"] = int(line.split()[1])
+                        break
+        except (OSError, ValueError):
+            pass
+        return out
+
     def webapp(self, body=None):
         """Static dashboard (reference api/api.go:29-32 webapp role)."""
         from davinci_tpu.webapp import DASHBOARD_HTML
@@ -338,21 +385,47 @@ def serve(api: API, host: str = "127.0.0.1", port: int = 0):
             self.end_headers()
             self.wfile.write(data)
 
+        # request logging (reference api/middleware.go:78-154
+        # loggingMiddleware): method/path/status/duration + truncated JSON
+        # body at debug level; health-check-style endpoints excluded
+        LOG_EXCLUDED = ("/app", "/hostLoad", "/info")
+        MAX_BODY_LOG = 512
+
         def _handle(self, method):
             length = int(self.headers.get("Content-Length", 0) or 0)
+            raw = self.rfile.read(length) if length else b""
             body = None
-            if length:
+            if raw:
                 try:
-                    body = json.loads(self.rfile.read(length))
+                    body = json.loads(raw)
                 except json.JSONDecodeError:
                     return self._respond(400, {"error": "bad json"})
+            t0 = time.monotonic()
+            status = 200
             try:
                 out = api.dispatch(method, self.path, body)
                 self._respond(200, out)
             except ApiError as e:
+                status = e.code
                 self._respond(e.code, {"error": e.msg})
             except Exception as e:  # pragma: no cover
+                status = 500
                 self._respond(500, {"error": str(e)})
+            if not any(self.path.startswith(p) for p in self.LOG_EXCLUDED):
+                from davinci_tpu import log
+
+                kv = {
+                    "method": method,
+                    "path": self.path,
+                    "status": status,
+                    "took_ms": round(1e3 * (time.monotonic() - t0), 2),
+                }
+                if raw[:1] in (b"{", b"["):
+                    body_str = raw.decode("utf-8", "replace")
+                    if len(body_str) > self.MAX_BODY_LOG:
+                        body_str = body_str[: self.MAX_BODY_LOG] + "..."
+                    kv["body"] = body_str
+                log.debugw("api.request", **kv)
 
         def do_GET(self):
             self._handle("GET")

@@ -98,7 +98,23 @@ def cmd_e2e(args):
         encryption_key=(pub.x, pub.y),
         state_root=spec.state_root(pid, 1, pub.x, pub.y, 0),
     )
-    chain = InMemoryChain()
+    if getattr(args, "rpc_chain", False):
+        # full HTTP JSON-RPC rim: contract bindings against the local
+        # fake node (reference web3/ against a live endpoint)
+        from davinci_tpu.web3.contracts import ProcessRegistry, RpcChain
+        from davinci_tpu.web3.fakenode import FakeEthNode
+        from davinci_tpu.web3.rpc import JsonRpcClient
+
+        node = FakeEthNode()
+        server = node.serve()
+        rpc = JsonRpcClient(
+            f"http://127.0.0.1:{server.server_address[1]}/"
+        )
+        chain = RpcChain(
+            ProcessRegistry(rpc, FakeEthNode.REGISTRY_ADDR, 0xD0D0CAFE)
+        )
+    else:
+        chain = InMemoryChain()
     chain.create_process(info)
     seq = Sequencer(Storage(MemoryKV()), chain, batch_time_window=0.0)
     seq.register_process(info, priv_key=priv)
@@ -197,6 +213,70 @@ def cmd_circuit_compile(args):
     print(json.dumps({"compiled": compiled, "exported": exported}))
 
 
+def cmd_send_blob(args):
+    """Build N random blobs, compute KZG sidecar material, sign an
+    EIP-4844 type-3 transaction and submit it over JSON-RPC (reference
+    cmd/send-blob/main.go — pointed at a local fake RPC in this
+    zero-egress environment; the tx bytes are real)."""
+    from davinci_tpu.blobs.kzg import Blob, blob_to_commitment
+    from davinci_tpu.ethereum import address_from_pubkey, pubkey_from_priv
+    from davinci_tpu.web3.blobtx import (
+        SIDECAR_VERSION_0,
+        SIDECAR_VERSION_1,
+        build_blob_tx,
+        sign_blob_tx,
+    )
+    from davinci_tpu.web3.rpc import JsonRpcClient
+
+    rng = random.Random(args.seed)
+    priv = int(args.privkey, 16)
+    sender = address_from_pubkey(pubkey_from_priv(priv))
+    rpc = JsonRpcClient(args.rpc)
+    chain_id = int(rpc.call("eth_chainId", []), 16)
+    nonce = int(
+        rpc.call("eth_getTransactionCount", [f"0x{sender.hex()}", "pending"]),
+        16,
+    )
+    to = bytes.fromhex(args.to[2:]) if args.to else sender
+
+    blobs_with_kzg = []
+    for _ in range(args.n):
+        cells = [rng.randrange(1 << 248) for _ in range(4096)]
+        blob = Blob(cells)
+        commitment = blob_to_commitment(blob)
+        if args.cells:
+            from davinci_tpu.blobs.cells import compute_cell_proofs_device
+
+            proofs = compute_cell_proofs_device(blob)
+        else:
+            from davinci_tpu.blobs.kzg import compute_kzg_proof
+
+            z = 2
+            proof, _y = compute_kzg_proof(blob, z)
+            proofs = proof
+        blobs_with_kzg.append((blob.to_bytes(), commitment, proofs))
+
+    tx = build_blob_tx(
+        chain_id=chain_id, nonce=nonce, to=to, data=b"",
+        blobs_with_kzg=blobs_with_kzg,
+        sidecar_version=(
+            SIDECAR_VERSION_1 if args.cells else SIDECAR_VERSION_0
+        ),
+    )
+    tx = sign_blob_tx(tx, priv)
+    raw = tx.encode_network()
+    txh = rpc.call("eth_sendRawTransaction", ["0x" + raw.hex()])
+    out = {"txHash": txh, "blobs": args.n, "from": "0x" + sender.hex()}
+    if args.wait:
+        for _ in range(60):
+            rcpt = rpc.call("eth_getTransactionReceipt", [txh])
+            if rcpt:
+                out["status"] = rcpt.get("status")
+                break
+            time.sleep(2)
+    print(json.dumps(out))
+
+
 def main():
     ap = argparse.ArgumentParser(prog="davinci-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -224,6 +304,11 @@ def main():
         help="run the real Groth16 results-verifier prover at finalize "
         "(artifact-cached setup; reference RUN_CIRCUIT_TESTS role)",
     )
+    e.add_argument(
+        "--rpc-chain", action="store_true",
+        help="run over the contract bindings + local fake JSON-RPC node "
+        "instead of InMemoryChain",
+    )
     e.set_defaults(fn=cmd_e2e)
 
     cc = sub.add_parser(
@@ -239,6 +324,22 @@ def main():
     cc.add_argument("--levels", type=int, default=64)
     cc.add_argument("--fields", type=int, default=8)
     cc.set_defaults(fn=cmd_circuit_compile)
+
+    sb = sub.add_parser(
+        "send-blob",
+        help="build + sign + submit an EIP-4844 blob tx over JSON-RPC",
+    )
+    sb.add_argument("--rpc", required=True, help="JSON-RPC endpoint URL")
+    sb.add_argument("--privkey", required=True, help="hex private key")
+    sb.add_argument("--to", default="", help="destination (default sender)")
+    sb.add_argument("-n", type=int, default=1, help="number of blobs")
+    sb.add_argument("--seed", type=int, default=0)
+    sb.add_argument(
+        "--cells", action="store_true",
+        help="EIP-7594 128-cell sidecar (version 1) instead of one proof",
+    )
+    sb.add_argument("--wait", action="store_true", help="poll for receipt")
+    sb.set_defaults(fn=cmd_send_blob)
 
     args = ap.parse_args()
     args.fn(args)

@@ -95,39 +95,56 @@ class CommittedProof(Proof):
     pok: AffinePoint = None  # knowledge proof: pok == eta * d
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _fixed_base_table_scan(dc, bx, by, bz):
+    """(W, ...) per-window bases -> (W, NBUCKETS, ...) window tables via a
+    log-depth Hillis-Steele prefix scan (12 batched adds total, ALL
+    windows at once).  One jitted graph — the previous per-window eager
+    build dispatched dozens of separately-compiled ops, which on the axon
+    backend stalls setup for tens of minutes per fresh process."""
+    from davinci_tpu.msm.pippenger import NBUCKETS
+
+    W = bx.shape[0]
+    lane = jnp.broadcast_to(jnp.arange(NBUCKETS), (W, NBUCKETS))
+    bw = tuple(
+        jnp.broadcast_to(a[:, None], (W, NBUCKETS) + a.shape[1:])
+        for a in (bx, by, bz)
+    )
+    ident = dc.identity((W, NBUCKETS))
+    cur = dc.select(lane >= 1, bw, ident)
+    stride = 1
+    while stride < NBUCKETS:
+        shifted = tuple(jnp.roll(a, stride, axis=1) for a in cur)
+        shifted = dc.select(lane >= stride, shifted, ident)
+        cur = dc.add(cur, shifted)
+        stride <<= 1
+    return cur
+
+
 @functools.cache
 def _fixed_base_table(dc, gspec):
     """Fixed-base window table T[w, d] = d * 2^(12w) * G for every base-2^12
     scalar window w and digit d, as (W, 4096, ...) coordinate arrays.
-
-    Built on device: one host point mul per window for the row base B_w,
-    then a log-depth Hillis-Steele prefix scan turns [0, B, B, ...] into
-    [0, B, 2B, 3B, ...] (12 batched adds per row).  Cached per DeviceCurve.
+    Host does W tiny point muls for the row bases; the device builds all
+    rows in one jitted scan.  Cached per DeviceCurve.
     Role: gnark-crypto's fixed-base precomputation used by Setup."""
-    from davinci_tpu.msm.pippenger import NBUCKETS, WINDOW_BITS
+    from davinci_tpu.msm.pippenger import WINDOW_BITS
 
     W = -(-gspec.r.bit_length() // WINDOW_BITS)
-    lane = jnp.arange(NBUCKETS)
-    rows = []
+    bases = []
     base_pt = gspec.gen
-    for w in range(W):
-        b1 = dc.encode_points([base_pt])
-        bw = tuple(
-            jnp.broadcast_to(a, (NBUCKETS,) + a.shape[1:]) for a in b1
-        )
-        ident = dc.identity((NBUCKETS,))
-        cur = dc.select(lane >= 1, bw, ident)
-        stride = 1
-        while stride < NBUCKETS:
-            shifted = tuple(jnp.roll(a, stride, axis=0) for a in cur)
-            shifted = dc.select(lane >= stride, shifted, ident)
-            cur = dc.add(cur, shifted)
-            stride <<= 1
-        rows.append(cur)
+    for _ in range(W):
+        bases.append(base_pt)
         base_pt = base_pt.mul(1 << WINDOW_BITS)
-    return tuple(
-        jnp.stack([r[c] for r in rows]) for c in range(3)
-    )  # (W, NBUCKETS, ...) x3
+    bx, by, bz = dc.encode_points(bases)
+    return _fixed_base_table_scan(dc, bx, by, bz)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fixed_base_mul_affine(dc, tx, ty, tz, S):
+    """One fused graph per chunk: window mul + batched affine
+    normalization (one device dispatch per setup chunk)."""
+    return dc.affine_encoding(_fixed_base_mul(dc, tx, ty, tz, S))
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -312,10 +329,11 @@ class Groth16:
         )
         return pk, vk
 
-    # fixed chunk: ONE compile shape for every setup batch size, and a
-    # bound on device working set — G2 (Fp2) double-and-add at 64k+ points
-    # crashes the TPU worker (device memory blowup), 16k is safe
-    _BATCH_MUL_CHUNK = 16384
+    # fixed chunks: ONE compile shape for every setup batch size, and a
+    # bound on device working set — Fp2 (G2) at 64k+ points crashes the
+    # TPU worker (device memory blowup), 16k is safe there
+    _BATCH_MUL_CHUNK = 65536
+    _BATCH_MUL_CHUNK_G2 = 16384
 
     def _batch_mul_enc(self, dc, gspec, scalars) -> EncodedBases:
         """[s * gen] for a scalar list as EncodedBases — fixed-base window
@@ -326,14 +344,19 @@ class Groth16:
         if not scalars:
             return EncodedBases.empty(dc)
         n = len(scalars)
+        max_chunk = (
+            self._BATCH_MUL_CHUNK_G2
+            if dc.ops.coord_ndim == 2
+            else self._BATCH_MUL_CHUNK
+        )
         chunk = min(
-            self._BATCH_MUL_CHUNK,
+            max_chunk,
             1 << (n - 1).bit_length() if n > 1 else 1,
         )
-        # the window table pays off on TPU (table build = 264 cheap kernel
-        # adds); on the CPU test backend its one-time compile (~2 min per
-        # curve) dwarfs any execution win, so tests keep the compile-tiny
-        # double-and-add
+        # the window table pays off on TPU (table build = 12 batched kernel
+        # adds in one graph); on the CPU test backend its one-time compile
+        # (~2 min per curve) dwarfs any execution win, so tests keep the
+        # compile-tiny double-and-add
         fixed_base = jax.default_backend() == "tpu"
         table = _fixed_base_table(dc, gspec) if fixed_base else None
         base = (
@@ -344,12 +367,10 @@ class Groth16:
             part = list(scalars[ofs : ofs + chunk])
             part += [0] * (chunk - len(part))
             S = jnp.asarray(scalars_to_limbs(gspec, part))
-            pts = (
-                _fixed_base_mul(dc, *table, S)
-                if fixed_base
-                else dc.scalar_mul(base, S)
-            )
-            res = dc.affine_encoding(pts)
+            if fixed_base:
+                res = _fixed_base_mul_affine(dc, *table, S)
+            else:
+                res = dc.affine_encoding(dc.scalar_mul(base, S))
             outs.append(tuple(np.asarray(a) for a in res))
         return EncodedBases(
             np.concatenate([o[0] for o in outs])[:n],
@@ -387,9 +408,13 @@ class Groth16:
 
         with log.info_time("groth16.quotient_ntt", domain=N):
             df = self.ntt.df
-            evals = jnp.stack([df.encode(az), df.encode(bz), df.encode(czv)])
-            coeffs = self.ntt.intt(evals)
-            cosets = self.ntt.coset_ntt(coeffs)
+            # per-polynomial transforms: peak device memory is ~2 (N, L)
+            # arrays instead of ~2 (3, N, L) — the difference between
+            # fitting and OOMing the 2^24 full-size c2 domain in 16 GB HBM
+            cosets = [
+                self.ntt.coset_ntt(self.ntt.intt(df.encode(v)))
+                for v in (az, bz, czv)
+            ]
             ab = df.mul(cosets[0], cosets[1])
             num = df.sub(ab, cosets[2])
             g = self.fr.multiplicative_generator

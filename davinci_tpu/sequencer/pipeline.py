@@ -250,6 +250,26 @@ class Sequencer:
         items = self.storage.verified_ballots.next(self.votes_per_batch)
         if not items:
             return
+        # native re-verify before batching (reference aggregate.go:37):
+        # a bad stored proof fails HERE, not via the whole batch proof
+        verify = getattr(self.provers, "verify_vote", None)
+        if verify is not None:
+            ok_items = []
+            for seq, it in items:
+                if verify(it):
+                    ok_items.append((seq, it))
+                else:
+                    log.warnw(
+                        "aggregate.invalid_vote_proof",
+                        pid=it["pid"], vote_id=it["vote_id"],
+                    )
+                    self.storage.set_vote_status(
+                        it["pid"], it["vote_id"], VoteIDStatus.ERROR
+                    )
+                    self.storage.verified_ballots.done(seq)
+            items = ok_items
+            if not items:
+                return
         ballots = [it for _, it in items]
         agg_proof = self.provers.prove_aggregate(ballots)
         self.storage.agg_batches.push(

@@ -167,6 +167,24 @@ class ProtocolProvers:
             self._dummy = (proof, witness_vote_hash(params, w))
         return self._dummy
 
+    def verify_vote(self, ballot: dict) -> bool:
+        """Natively re-verify a stored vote-verifier proof before it
+        enters an aggregation batch — fail fast on a bad proof instead of
+        discovering it when the whole batch proof fails (reference
+        sequencer/aggregate.go:37 verifyVoteVerifierProof)."""
+        pr = ballot.get("proof")
+        if not ballot.get("proven") or pr is None:
+            return True  # solve/stub tiers carry no proof to check
+        rt = self._c2_rt
+        if rt is None:
+            return True
+        g16 = rt.g16
+        proof = proof_from_dict(pr, g16.g1, g16.g2)
+        pub = [int(ballot["vote_hash"], 16)]
+        if self.c2_params.use_lookup:
+            return g16.verify_committed(rt.vk, proof, pub)
+        return g16.verify(rt.vk, proof, pub)
+
     # -- circuit 3: aggregation ----------------------------------------------
 
     def prove_aggregate(self, ballots: list) -> dict:

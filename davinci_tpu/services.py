@@ -55,6 +55,88 @@ class JSONSnapshotImporter:
             return self.import_snapshot(f.read(), census_id)
 
 
+GRAPHQL_WEIGHT_QUERY = """\
+query GetWeightChangeEvents($first: Int!, $skip: Int!) {
+  weightChangeEvents(
+    first: $first
+    skip: $skip
+    orderBy: blockNumber
+    orderDirection: asc
+  ) {
+    account { id }
+    previousWeight
+    newWeight
+  }
+}"""
+
+
+class GraphQLImporter:
+    """GraphQL census importer (reference census/graphql.go): pages
+    `weightChangeEvents` from a subgraph endpoint, folds them into final
+    per-account weights (last newWeight wins; zero removes), and builds
+    the census.  Speaks plain HTTP JSON — tested against a local stub
+    server (this environment has no egress)."""
+
+    def __init__(self, censusdb: CensusDB, endpoint: str,
+                 page_size: int = 1000, timeout: float = 30.0,
+                 query: str = GRAPHQL_WEIGHT_QUERY):
+        self.db = censusdb
+        self.endpoint = endpoint
+        self.page_size = page_size
+        self.timeout = timeout
+        self.query = query
+
+    def _fetch_page(self, skip: int) -> list:
+        import urllib.request
+
+        payload = json.dumps({
+            "query": self.query,
+            "variables": {"first": self.page_size, "skip": skip},
+        }).encode()
+        req = urllib.request.Request(
+            self.endpoint, data=payload,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            out = json.loads(resp.read())
+        if out.get("errors"):
+            raise RuntimeError(
+                f"graphql: {out['errors'][0].get('message', 'error')}"
+            )
+        return out["data"]["weightChangeEvents"]
+
+    def fetch_weights(self) -> dict:
+        """All pages -> {address(int): weight(int)} final state."""
+        weights: dict = {}
+        skip = 0
+        while True:
+            events = self._fetch_page(skip)
+            if not events:
+                break
+            for ev in events:
+                addr = int(ev["account"]["id"], 16)
+                w = int(ev["newWeight"])
+                if w == 0:
+                    weights.pop(addr, None)
+                else:
+                    weights[addr] = w
+            if len(events) < self.page_size:
+                break
+            skip += len(events)
+        return weights
+
+    def import_all(self, census_id: str | None = None):
+        weights = self.fetch_weights()
+        ref = self.db.new(census_id)
+        for addr in sorted(weights):
+            self.db.insert(ref.census_id, addr, weights[addr])
+        log.infow(
+            "census.import.graphql", census=ref.census_id,
+            participants=len(weights), endpoint=self.endpoint,
+        )
+        return ref
+
+
 class CallbackImporter:
     """Dynamic importer: pulls (address, weight) batches from a source
     callable until exhausted — the seam the reference's GraphQL

@@ -46,6 +46,41 @@ def _rlp_len(n: int, offset: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def rlp_decode(data: bytes):
+    """Inverse of rlp_encode: bytes -> bytes | list (ints stay bytes —
+    callers int.from_bytes as needed).  Used by the local fake node to
+    decode the exact wire transactions the bindings produce."""
+    item, rest = _rlp_decode_one(memoryview(data))
+    assert not len(rest), "trailing rlp bytes"
+    return item
+
+
+def _rlp_decode_one(mv):
+    assert len(mv), "empty rlp"
+    b0 = mv[0]
+    if b0 < 0x80:
+        return bytes(mv[:1]), mv[1:]
+    if b0 < 0xB8:
+        n = b0 - 0x80
+        return bytes(mv[1 : 1 + n]), mv[1 + n :]
+    if b0 < 0xC0:
+        ln = b0 - 0xB7
+        n = int.from_bytes(mv[1 : 1 + ln], "big")
+        return bytes(mv[1 + ln : 1 + ln + n]), mv[1 + ln + n :]
+    if b0 < 0xF8:
+        n = b0 - 0xC0
+        body, rest = mv[1 : 1 + n], mv[1 + n :]
+    else:
+        ln = b0 - 0xF7
+        n = int.from_bytes(mv[1 : 1 + ln], "big")
+        body, rest = mv[1 + ln : 1 + ln + n], mv[1 + ln + n :]
+    items = []
+    while len(body):
+        item, body = _rlp_decode_one(body)
+        items.append(item)
+    return items, rest
+
+
 def function_selector(signature: str) -> bytes:
     return keccak256(signature.encode())[:4]
 

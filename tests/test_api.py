@@ -154,5 +154,15 @@ def test_http_transport(env):
             page = resp.read().decode()
         assert "davinci-tpu sequencer" in page
         assert "/sequencer/stats" in page
+
+        # host metrics (reference api/info.go:35-68 hostLoad)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/hostLoad"
+        ) as resp:
+            hl = json.loads(resp.read())
+        assert set(hl) >= {"hostLoad1", "hostMemUsedPercent",
+                           "hostDiskUsedPercent"}
+        assert hl["hostMemUsedPercent"] > 0
+        assert hl["hostDiskUsedPercent"].get("/", 0) > 0
     finally:
         server.shutdown()

@@ -87,6 +87,63 @@ def test_callback_importer_paginates():
     assert db.by_id[ref.census_id].tree.size == 25
 
 
+def test_graphql_importer_pages_and_folds():
+    """GraphQL transport against a local stub subgraph: pagination,
+    last-newWeight-wins folding, zero-weight removal (reference
+    census/graphql.go weightChangeEvents protocol)."""
+    import http.server
+    import threading
+
+    from davinci_tpu.services import GraphQLImporter
+
+    events = (
+        [{"account": {"id": hex(2000 + i)}, "previousWeight": "0",
+          "newWeight": "1"} for i in range(13)]
+        + [{"account": {"id": hex(2003)}, "previousWeight": "1",
+            "newWeight": "9"}]       # update wins
+        + [{"account": {"id": hex(2007)}, "previousWeight": "1",
+            "newWeight": "0"}]       # removal
+    )
+    seen_pages = []
+
+    class Stub(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))
+            )
+            first = body["variables"]["first"]
+            skip = body["variables"]["skip"]
+            seen_pages.append((first, skip))
+            page = events[skip : skip + first]
+            data = json.dumps({"data": {"weightChangeEvents": page}}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        db = CensusDB()
+        imp = GraphQLImporter(
+            db, f"http://127.0.0.1:{server.server_address[1]}/subgraph",
+            page_size=6,
+        )
+        ref = imp.import_all()
+        tree = db.by_id[ref.census_id].tree
+        assert tree.size == 12  # 13 inserts, 1 removed
+        assert len(seen_pages) >= 3  # paginated
+        root = db.publish(ref.census_id)
+        proof = db.proof_by_root(root, 2003)
+        assert proof["weight"] == 9
+    finally:
+        server.shutdown()
+
+
 def test_config_env_resolution(monkeypatch):
     monkeypatch.setenv("DAVINCI_API_PORT", "9999")
     monkeypatch.setenv("DAVINCI_FORCE_CLEANUP", "true")
