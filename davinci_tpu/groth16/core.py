@@ -198,6 +198,18 @@ class Groth16:
         self.dc2 = get_device_curve(self.g2)
         self.ntt = get_device_ntt(self.fr)
         self.r = self.fr.p
+        # multi-chip proving: when a mesh is set, proving-key MSMs run as
+        # sharded_msm (points/buckets across devices, all_gather merge)
+        # and the quotient NTTs as the four-step collective transform
+        self.mesh = None
+        self.mesh_axis = "shard"
+
+    def set_mesh(self, mesh, axis_name: str = "shard"):
+        """Distribute proving over a jax.sharding.Mesh axis (SURVEY §2.4
+        pod-collective role).  Proofs are bit-identical to single-device
+        (tests/test_groth16_sharded.py)."""
+        self.mesh = mesh
+        self.mesh_axis = axis_name
 
     # ------------------------------------------------------------------ setup
 
@@ -408,19 +420,37 @@ class Groth16:
 
         with log.info_time("groth16.quotient_ntt", domain=N):
             df = self.ntt.df
+            g = self.fr.multiplicative_generator
+            D = (
+                self.mesh.shape[self.mesh_axis]
+                if self.mesh is not None
+                else 1
+            )
+            # the four-step decomposition needs N divisible by D^2
+            if self.mesh is not None and N % (D * D) == 0:
+                fwd = lambda x: self.ntt.sharded_ntt(x, self.mesh,
+                                                     self.mesh_axis)
+                inv = lambda x: self.ntt.sharded_intt(x, self.mesh,
+                                                      self.mesh_axis)
+                gp = self.ntt.power_table(g, N)
+                gpi = self.ntt.power_table(pow(g, -1, r), N)
+                coset_fwd = lambda c: fwd(df.mul(c, gp))
+                coset_inv = lambda e: df.mul(inv(e), gpi)
+            else:
+                fwd, inv = self.ntt.ntt, self.ntt.intt
+                coset_fwd = self.ntt.coset_ntt
+                coset_inv = self.ntt.coset_intt
             # per-polynomial transforms: peak device memory is ~2 (N, L)
             # arrays instead of ~2 (3, N, L) — the difference between
             # fitting and OOMing the 2^24 full-size c2 domain in 16 GB HBM
             cosets = [
-                self.ntt.coset_ntt(self.ntt.intt(df.encode(v)))
-                for v in (az, bz, czv)
+                coset_fwd(inv(df.encode(v))) for v in (az, bz, czv)
             ]
             ab = df.mul(cosets[0], cosets[1])
             num = df.sub(ab, cosets[2])
-            g = self.fr.multiplicative_generator
             zc_inv = pow((pow(g, N, r) - 1) % r, -1, r)
             he = df.mul(num, df.encode_scalar(zc_inv))
-            h_coeffs = self.ntt.coset_intt(he)
+            h_coeffs = coset_inv(he)
             # raw base-2^12 limbs ARE the MSM scalar format (WINDOW_BITS ==
             # LIMB_BITS): h feeds the z_g1 MSM without a host round-trip
             h_raw = df.from_mont(h_coeffs)
@@ -614,6 +644,8 @@ class Groth16:
             if dc.ops.coord_ndim == 2
             else self.MSM_SEGMENT
         )
+        if self.mesh is not None:
+            return self._msm_enc_sharded(dc, gspec, bases, S_full, seg)
         if n <= seg:
             if jax.default_backend() == "tpu":
                 # ONE compile shape for every proving-key MSM on the TPU:
@@ -642,7 +674,7 @@ class Groth16:
 
     def _msm_enc_segmented(self, dc, gspec, bases, S_full, seg):
         n = len(bases)
-        total = gspec.infinity()
+        total = None
         shape_tail = bases.x.shape[1:]
         for ofs in range(0, n, seg):
             hi = min(ofs + seg, n)
@@ -656,11 +688,36 @@ class Groth16:
             )
             if S.shape[0] != seg:
                 S = jnp.pad(jnp.asarray(S), ((0, seg - S.shape[0]), (0, 0)))
-            out = msm(dc, arrs, jnp.asarray(S))
-            total = total.add(
-                dc.decode_points(tuple(a[None] for a in out))[0]
+            out = tuple(a[None] for a in msm(dc, arrs, jnp.asarray(S)))
+            # fold segment partials on DEVICE; decode once at the end
+            total = out if total is None else dc.add(total, out)
+        if total is None:
+            return gspec.infinity()
+        return dc.decode_points(total)[0]
+
+    def _msm_enc_sharded(self, dc, gspec, bases, S_full, seg):
+        """Mesh-sharded MSM (points/buckets across devices, all_gather
+        bucket merge), segmented for memory; partials fold on device."""
+        from davinci_tpu.msm import sharded_msm
+
+        n = len(bases)
+        total = None
+        for ofs in range(0, n, seg):
+            hi = min(ofs + seg, n)
+            S = S_full[ofs:hi]
+            if not bool(S.any()):
+                continue
+            arrs = tuple(
+                jnp.asarray(a[ofs:hi]) for a in (bases.x, bases.y, bases.z)
             )
-        return total
+            out = sharded_msm(
+                dc, arrs, jnp.asarray(S), self.mesh, self.mesh_axis
+            )
+            out = tuple(a[None] for a in out)
+            total = out if total is None else dc.add(total, out)
+        if total is None:
+            return gspec.infinity()
+        return dc.decode_points(total)[0]
 
     # ----------------------------------------------------------------- verify
 

@@ -150,6 +150,106 @@ class DeviceNTT:
         )
         return self._intt_jit(x, wpow, perm, exps, self.df.encode_scalar(ninv))
 
+    # -- sharded transforms (multi-chip) ------------------------------------
+    #
+    # Bailey four-step NTT over a device mesh axis: (1) all_to_all reshards
+    # natural blocks to the strided decomposition (moves n elements over
+    # ICI), (2) local length-n/D Stockham transforms, (3) per-device
+    # twiddles, (4) the cross-device length-D DFT as D local scaled copies
+    # reduced with psum_scatter (moves n elements; output lands in natural
+    # blocks).  This is the pod-collective replacement for the quotient
+    # NTTs in multi-chip Groth16 proving (SURVEY §2.4: butterfly stages as
+    # collectives over ICI, not NCCL point-to-point).
+
+    def _shard_tables(self, n: int, D: int, w: int):
+        """Host-precomputed tables for a size-n transform over D devices:
+        per-device twiddles (D, n2, L) [w^(b*k2)] and the cross-DFT
+        weights (D, D, L) [w^(n2*b*k1)], both Montgomery."""
+        df = self.df
+        p = self.spec.p
+        n2 = n // D
+        tw = np.zeros((D, n2, self.df.L), np.int32)
+        small = np.zeros((D, D, self.df.L), np.int32)
+        for b in range(D):
+            wb = pow(w, b, p)
+            acc = 1
+            vals = []
+            for _ in range(n2):
+                vals.append(acc * self.spec.r_mod_p % p)
+                acc = acc * wb % p
+            tw[b] = self.spec.batch_to_limbs(vals)
+            wn2b = pow(w, n2 * b, p)
+            acc = 1
+            vals = []
+            for _ in range(D):
+                vals.append(acc * self.spec.r_mod_p % p)
+                acc = acc * wn2b % p
+            small[b] = self.spec.batch_to_limbs(vals)
+        return jnp.asarray(tw), jnp.asarray(small)
+
+    def sharded_ntt(self, x: jnp.ndarray, mesh, axis_name: str = "shard",
+                    inverse: bool = False) -> jnp.ndarray:
+        """Forward (or inverse) NTT of x (n, L) sharded over mesh axis.
+        Natural order in and out, bit-identical to ntt()/intt()."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        df = self.df
+        n = x.shape[0]
+        D = mesh.shape[axis_name]
+        n2 = n // D
+        assert n2 * D == n and n2 % D == 0, (n, D)
+        logn2 = n2.bit_length() - 1
+        assert 1 << logn2 == n2
+        w, winv, ninv = self._roots(n.bit_length() - 1)
+        if inverse:
+            w = winv
+        tw, small = self._shard_tables(n, D, w)
+        # local transforms use root w^D (order n2)
+        wD = pow(w, D, self.spec.p)
+        perm, exps = _stage_tables(n2)
+        wpow = (
+            self.power_table(wD, n2 // 2) if n2 > 1 else df.one_mont[None]
+        )
+        ninv_mont = df.encode_scalar(ninv if inverse else 1)
+
+        def local(xb, twb, smallb):
+            # (1) natural blocks -> strided decomposition
+            g = xb.reshape(n2 // D, D, -1).transpose(1, 0, 2)
+            g = jax.lax.all_to_all(
+                g, axis_name, split_axis=0, concat_axis=0
+            ).reshape(n2, -1)
+            # (2) local Stockham over j2 with root w^D
+            a = self._butterflies(g, wpow, perm, exps, n2)
+            # (3) per-device twiddle w^(b*k2)
+            a = df.mul(a, twb[0])
+            # (4) cross-device DFT over b: D scaled copies, psum_scatter
+            contrib = df.mul(a[None], smallb[0][:, None, :])  # (D, n2, L)
+            out = jax.lax.psum_scatter(
+                contrib, axis_name, scatter_dimension=0, tiled=False
+            )
+            # psum adds limb columns WITHOUT field reduction (value < D*p,
+            # limbs < D*4096); one carry pass + Montgomery mul by the
+            # (1 or 1/n) constant renormalizes exactly
+            from davinci_tpu.ff.mod import carry_fix
+
+            return df.mul(carry_fix(out, df.L), ninv_mont)
+
+        spec_in = P(axis_name)
+        kwargs = dict(
+            mesh=mesh,
+            in_specs=(spec_in, spec_in, spec_in),
+            out_specs=spec_in,
+        )
+        try:
+            fn = shard_map(local, check_vma=False, **kwargs)
+        except TypeError:
+            fn = shard_map(local, check_rep=False, **kwargs)
+        return jax.jit(fn)(x, tw, small)
+
+    def sharded_intt(self, x, mesh, axis_name: str = "shard"):
+        return self.sharded_ntt(x, mesh, axis_name, inverse=True)
+
     # -- coset helpers (quotient polynomial) --------------------------------
 
     def coset_ntt(self, coeffs: jnp.ndarray, g: int | None = None):

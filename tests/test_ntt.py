@@ -63,6 +63,33 @@ def test_coset_eval():
     assert back == coeffs
 
 
+def test_sharded_ntt_matches_single_device():
+    """Four-step mesh-sharded NTT (all_to_all + local Stockham +
+    psum_scatter) bit-matches the single-device transform on the 8-device
+    virtual mesh, forward and inverse."""
+    import jax
+
+    spec = F.bn254_fr
+    ntt = get_device_ntt(spec)
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = jax.sharding.Mesh(np.array(devs[:8]), ("shard",))
+    rng = random.Random(3)
+    n = 512
+    vals = [rng.randrange(spec.p) for _ in range(n)]
+    x = ntt.df.encode(vals)
+    want = np.asarray(ntt.ntt(x))
+    got = np.asarray(ntt.sharded_ntt(x, mesh))
+    assert np.array_equal(want, got)
+    wanti = np.asarray(ntt.intt(x))
+    goti = np.asarray(ntt.sharded_intt(x, mesh))
+    assert np.array_equal(wanti, goti)
+    # roundtrip through the sharded pair
+    back = np.asarray(ntt.sharded_intt(jnp.asarray(got), mesh))
+    assert np.array_equal(back, np.asarray(x))
+
+
 def test_batched_ntt():
     spec = F.bn254_fr
     ntt = get_device_ntt(spec)
