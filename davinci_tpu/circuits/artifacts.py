@@ -100,10 +100,13 @@ class ArtifactStore:
 
     def load_or_setup(
         self, circuit_id: str, curve_name: str, cs, rng=None,
-        check_hash: bool = True,
+        check_hash: bool = True, g16=None,
     ) -> CircuitRuntime:
         """Return the cached runtime for this circuit structure, running
-        (and persisting) trusted setup exactly once per structure."""
+        (and persisting) trusted setup exactly once per structure.
+
+        g16: optional prebuilt Groth16 backend (synthetic curve families —
+        toy recursion chains — aren't in the name registry)."""
         with self._lock:
             rt = self._mem.get(circuit_id)
             if rt is not None:
@@ -113,15 +116,19 @@ class ArtifactStore:
                         "artifacts — bump the circuit id"
                     )
                 return rt
-            rt = self._load_or_setup_disk(circuit_id, curve_name, cs, rng, check_hash)
+            rt = self._load_or_setup_disk(
+                circuit_id, curve_name, cs, rng, check_hash, g16
+            )
             self._mem[circuit_id] = rt
             return rt
 
-    def _load_or_setup_disk(self, circuit_id, curve_name, cs, rng, check_hash):
+    def _load_or_setup_disk(
+        self, circuit_id, curve_name, cs, rng, check_hash, g16=None
+    ):
         d = self._dir(circuit_id)
         meta_p, pk_p, vk_p = d / "meta.json", d / "pk.bin", d / "vk.bin"
         shash = cs_structure_hash(cs)
-        g16 = Groth16(curve_name)
+        g16 = g16 or Groth16(curve_name)
         g1spec, g2spec = g16.g1, g16.g2
         if meta_p.exists() and pk_p.exists() and vk_p.exists():
             meta = json.loads(meta_p.read_text())

@@ -44,10 +44,11 @@ from davinci_tpu.ec.pallas_add import _make_field_ops, _rcb15, _rcb15_mixed
 
 
 def _scan_kernel(p_ref, np_ref, b3_ref, one_ref, keys_ref, pts_ref, out_ref,
-                 acc_ref, key_ref):
+                 acc_ref, key_ref, *, signed=False):
     L = p_ref.shape[0]
     r = pl.program_id(1)
     key = keys_ref[0, 0, :]
+    bucket = (key >> 1) if signed else key
     # unpack the affine point from DENSE base-2^16 transport planes: plane
     # j carries bits [16j, 16j+16) of x in the low int32 half and of y in
     # the high half (ceil(12L/16) planes instead of L — 23% less sorted-
@@ -72,6 +73,15 @@ def _scan_kernel(p_ref, np_ref, b3_ref, one_ref, keys_ref, pts_ref, out_ref,
     X2 = to12(X16)
     Y2 = to12(Y16)
     one = [one_ref[i, 0] for i in range(L)]
+    p_cols = [p_ref[i, 0] for i in range(L)]
+    np_cols = [np_ref[i, 0] for i in range(L)]
+    b3 = [b3_ref[i, 0] for i in range(L)]
+    mul, add, sub = _make_field_ops(p_cols, np_cols, L)
+    if signed:
+        # sign bit 0 of the sort key: negate y on the fly (-P = (x, -y))
+        sgn = (key & 1) == 1
+        negY = sub([jnp.zeros_like(c) for c in Y2], Y2)
+        Y2 = [jnp.where(sgn, nv, yv) for nv, yv in zip(negY, Y2)]
 
     def emit(cols):
         # out block is (1, lt, 3L): one VMEM transpose per step keeps the
@@ -93,15 +103,14 @@ def _scan_kernel(p_ref, np_ref, b3_ref, one_ref, keys_ref, pts_ref, out_ref,
 
     @pl.when(r > 0)
     def _step():
-        p_cols = [p_ref[i, 0] for i in range(L)]
-        np_cols = [np_ref[i, 0] for i in range(L)]
-        b3 = [b3_ref[i, 0] for i in range(L)]
-        mul, add, sub = _make_field_ops(p_cols, np_cols, L)
         P1 = tuple(
             [acc_ref[c * L + i, :] for i in range(L)] for c in range(3)
         )
         merged = _rcb15_mixed(mul, add, sub, b3, P1, (X2, Y2))
-        same = key == key_ref[0, :]
+        prev = key_ref[0, :]
+        # same-BUCKET test: with signed keys a run may cross the sign
+        # boundary (key = 2*bucket + sign); points are already negated
+        same = bucket == ((prev >> 1) if signed else prev)
         fresh = (X2, Y2, [jnp.broadcast_to(one[i], X2[i].shape) for i in range(L)])
         vs = []
         for c in range(3):
@@ -120,20 +129,20 @@ def _lane_tile(nl: int) -> int:
     return nl
 
 
-def _bucket_scan(curve, pts_arr, keys_arr, interpret=False):
+def _bucket_scan(curve, pts_arr, keys_arr, interpret=False, signed=False):
     if interpret:
         # eager interpret mode (tests): jitting the interpreted grid is
         # pathological on XLA:CPU
-        return _bucket_scan_impl(curve, pts_arr, keys_arr, True)
-    return _bucket_scan_jit(curve, pts_arr, keys_arr)
+        return _bucket_scan_impl(curve, pts_arr, keys_arr, True, signed)
+    return _bucket_scan_jit(curve, pts_arr, keys_arr, signed)
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _bucket_scan_jit(curve, pts_arr, keys_arr):
-    return _bucket_scan_impl(curve, pts_arr, keys_arr, False)
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _bucket_scan_jit(curve, pts_arr, keys_arr, signed=False):
+    return _bucket_scan_impl(curve, pts_arr, keys_arr, False, signed)
 
 
-def _bucket_scan_impl(curve, pts_arr, keys_arr, interpret):
+def _bucket_scan_impl(curve, pts_arr, keys_arr, interpret, signed=False):
     """pts_arr: (rows, LP, NL) sorted column-major PACKED affine points
     (dense base-2^16 planes, x low half / y high half per int32); keys_arr:
     (rows, NL) sorted bucket keys.
@@ -162,7 +171,7 @@ def _bucket_scan_impl(curve, pts_arr, keys_arr, interpret):
     )
     one_mont = curve.ops.one_mont.astype(jnp.int32)
     return pl.pallas_call(
-        _scan_kernel,
+        functools.partial(_scan_kernel, signed=signed),
         out_shape=jax.ShapeDtypeStruct((rows, nl, 3 * L), jnp.int32),
         grid=grid,
         in_specs=[const_spec] * 4 + [keys_spec, pts_spec],
@@ -181,28 +190,33 @@ def _bucket_scan_impl(curve, pts_arr, keys_arr, interpret):
 
 def bucket_accumulate_kernel(
     curve, xs, ys, zs, keys_all, cols: int, nbuckets: int,
-    interpret: bool = False,
+    interpret: bool = False, signed: bool = False,
 ):
     """Bucket sums for a tile of windows via the monolithic scan kernel.
 
     xs/ys/zs: (n, L) point coords with z in {0, 1} per the affine input
     contract (encode_points / identity padding); keys_all: (Wt, n) bucket
-    indices (padding rides as key == nbuckets; infinity points are
-    key-redirected to the sink here).  Returns TRANSPOSED bucket arrays
-    (L, Wt, nbuckets+2) x3 (slot nbuckets = padding sink, nbuckets+1 =
-    scratch) plus lane-final leftover state (L, Wt, cols) x3 / (Wt, cols)
-    for the caller's suffix-sum merge (pippenger._merge_leftovers_t) —
-    the pipeline stays in the limb-major layout end-to-end.
+    indices — signed=False: plain bucket indices with padding as key ==
+    nbuckets; signed=True: SORT keys 2*bucket + sign from
+    pippenger._signed_sort_keys with padding/zero-digits at 2*nbuckets
+    (the kernel negates y for sign-1 elements and slot i weighs i+1).
+    Infinity points are key-redirected to the sink here.  Returns
+    TRANSPOSED bucket arrays (L, Wt, nbuckets+2) x3 (slot nbuckets =
+    padding sink, nbuckets+1 = scratch) plus lane-final leftover state
+    (L, Wt, cols) x3 / (Wt, cols) BUCKET-space keys for the caller's
+    suffix-sum merge (pippenger._merge_leftovers_t) — the pipeline stays
+    in the limb-major layout end-to-end.
     """
     Wt, n = keys_all.shape
     L = xs.shape[-1]
     assert n % cols == 0
     rows = n // cols
     nl = Wt * cols
+    sink = 2 * nbuckets if signed else nbuckets
 
     # infinity (z == 0) -> sink key in every window; z is 0-or-1 encoded
     is_inf = jnp.all(zs == 0, axis=-1)  # (n,)
-    keys_all = jnp.where(is_inf[None, :], nbuckets, keys_all)
+    keys_all = jnp.where(is_inf[None, :], sink, keys_all)
 
     # dense base-2^16 repack: 12-bit limbs leave 20 dead bits per int32
     # plane; ceil(12L/16) planes of (x16 | y16 << 16) cut the sorted-stream
@@ -242,18 +256,20 @@ def bucket_accumulate_kernel(
         k.reshape(Wt, cols, rows).transpose(2, 0, 1).reshape(rows, nl)
     )
 
-    acc_stream = _bucket_scan(curve, pts_arr, keys_arr, interpret)
+    acc_stream = _bucket_scan(curve, pts_arr, keys_arr, interpret, signed)
 
     # --- bucket tail-piece positions from the sorted keys alone ---------
     # ONE searchsorted per window (method="sort": one fused sort pass —
     # the default binary-search lowering AND a scatter-add histogram both
     # measured 80-95ms of the epilogue at n=2^18); keys are ints, so
-    # starts[b] = # keys < b = ends[b-1]
+    # starts[b] = # keys < b = ends[b-1].  Signed keys are 2*bucket+sign:
+    # # elements with bucket <= b == # keys <= 2b+1.
     w_iota = jnp.arange(Wt, dtype=jnp.int32)[:, None]
     b_iota = jnp.arange(nbuckets, dtype=jnp.int32)
+    b_query = (2 * b_iota + 1) if signed else b_iota
     ends = jax.vmap(
         lambda kk: jnp.searchsorted(
-            kk, b_iota, side="right", method="sort"
+            kk, b_query, side="right", method="sort"
         )
     )(k).astype(jnp.int32)  # (Wt, NB): # keys <= b
     starts = jnp.concatenate(
@@ -289,6 +305,8 @@ def bucket_accumulate_kernel(
     fin = acc_stream[rows - 1].T.reshape(3 * L, Wt, cols)
     acc = tuple(fin[c * L : (c + 1) * L] for c in range(3))
     acc_key = keys_arr[rows - 1].reshape(Wt, cols)
+    if signed:
+        acc_key = acc_key >> 1  # bucket-slot space for the leftover merge
     return buckets, acc, acc_key
 
 

@@ -41,9 +41,49 @@ from davinci_tpu.fields import LIMB_BITS
 
 WINDOW_BITS = LIMB_BITS
 NBUCKETS = 1 << WINDOW_BITS  # bucket 0 contributes nothing (b * S_0, b=0)
+# signed-digit kernel path: digits recoded to [-2048, 2048] halve the
+# bucket count (and the bucket-reduce group work) — the standard
+# Pippenger signed-window trick, TPU-shaped: the sign rides bit 0 of the
+# sort key and the scan kernel negates y on the fly (one field sub)
+SIGNED_NBUCKETS = NBUCKETS // 2
 COLS = 2048  # scan width per window: batched point-adds per sequential step
 # cap on sorted-point working set (elements of (W_tile * n)); ~1.5GB at L=22
 MAX_TILE_ELEMS = 1 << 23
+
+
+def _signed_sort_keys(limbs):
+    """(n, W) raw base-2^12 digits -> (n, W) int32 signed-scheme SORT keys.
+
+    Recode d_j to [-2048, 2047] (top window unsigned, see below), then
+    key = (|d| - 1) * 2 + sign for d != 0; zero digits go to the sink key
+    2*SIGNED_NBUCKETS (== NBUCKETS, the same value `_pad_inputs` pads
+    with — call this BEFORE padding).  Bucket slot i holds the sum of
+    (sign-applied) points with |digit| == i + 1, so the reduce weights
+    slot i by i+1 (the `shifted` combine).
+
+    Contract: each scalar's value < 2^(12W - 1), i.e. the top raw digit
+    is <= 2047 (true for any scalar reduced mod r when r.bit_length()
+    <= 12W - 1 — every registered curve; asserted in scalars_to_limbs).
+    The top window is NOT recoded: with the contract it absorbs the
+    final carry without overflow (<= 2048)."""
+    n, W = limbs.shape
+    snb = SIGNED_NBUCKETS
+    carry = jnp.zeros((n,), jnp.int32)
+    ds = []
+    for j in range(W):
+        v = limbs[:, j] + carry
+        if j == W - 1:
+            ds.append(v)
+            break
+        neg = (v >= snb).astype(jnp.int32)
+        ds.append(v - neg * NBUCKETS)
+        carry = neg
+    D = jnp.stack(ds, axis=1)  # signed digits, |D| <= 2048
+    sign = (D < 0).astype(jnp.int32)
+    mag = jnp.abs(D)
+    return jnp.where(mag == 0, 2 * snb, (mag - 1) * 2 + sign).astype(
+        jnp.int32
+    )
 
 
 def _flat_scatter_set(buckets, w_idx, b_idx, vals, nb):
@@ -308,51 +348,58 @@ def _merge_leftovers_t(curve, buckets, acc, acc_key):
     return tuple(out)
 
 
-def _bucket_reduce_t(curve, buckets):
-    """sum_b b*S_b per window on (L, Wt, NBUCKETS+2) buckets -> (L, Wt).
+def _bucket_reduce_t(curve, buckets, shifted: bool = False):
+    """Per-window bucket-weighted sum on (L, Wt, NB+2) buckets -> (L, Wt):
+    sum_b b*S_b (shifted=False) or sum_b (b+1)*S_b (shifted=True — the
+    signed-digit scheme stores |digit| v at slot v-1).
 
     TPU: the monolithic Pallas reduce kernel computes per-lane partials
     (2 complete adds per bucket, VMEM-resident) and only the small width-C
     cross-lane combine runs as XLA passes here.  Elsewhere: the full
     suffix-scan identity of _bucket_reduce_fused on minor-axis rolls."""
-    if _use_scan_kernel(curve) and (NBUCKETS & (NBUCKETS - 1)) == 0:
+    nb = buckets[0].shape[2] - 2
+    if _use_scan_kernel(curve) and (nb & (nb - 1)) == 0:
         import os
 
         from davinci_tpu.msm.bucket_kernel import bucket_reduce_kernel
 
         interp = os.environ.get("DAVINCI_MSM_KERNEL") == "interpret"
         A, B = bucket_reduce_kernel(
-            curve, tuple(b[:, :, :NBUCKETS] for b in buckets), interp
+            curve, tuple(b[:, :, :nb] for b in buckets), interp
         )
-        return _reduce_combine_t(curve, A, B)
+        return _reduce_combine_t(curve, A, B, shifted)
     L, Wt, nbp = buckets[0].shape
-    acc = tuple(a[:, :, :NBUCKETS] for a in buckets)
-    b_iota = jnp.arange(NBUCKETS, dtype=jnp.int32)
-    ident = _t_identity(curve, (Wt, NBUCKETS))
+    nbits = nb.bit_length() - 1
+    acc = tuple(a[:, :, :nb] for a in buckets)
+    b_iota = jnp.arange(nb, dtype=jnp.int32)
+    ident = _t_identity(curve, (Wt, nb))
 
     def suffix(i, a):
         stride = 1 << i
-        valid = b_iota < (NBUCKETS - stride)
-        shifted = _t_select(
+        valid = b_iota < (nb - stride)
+        sh = _t_select(
             valid, tuple(jnp.roll(x, -stride, axis=2) for x in a), ident
         )
-        return _t_add(curve, a, shifted)
+        return _t_add(curve, a, sh)
 
-    acc = jax.lax.fori_loop(0, WINDOW_BITS, suffix, acc)
-    acc = _t_select(b_iota >= 1, acc, ident)
+    acc = jax.lax.fori_loop(0, nbits, suffix, acc)
+    if not shifted:
+        # drop suffix(0) (it would weight bucket 0 once): mask slot 0
+        acc = _t_select(b_iota >= 1, acc, ident)
 
     def tree(i, a):
-        s = NBUCKETS >> 1 >> i
+        s = nb >> 1 >> i
         rolled = tuple(jnp.roll(x, -s, axis=2) for x in a)
         return _t_add(curve, a, rolled)
 
-    acc = jax.lax.fori_loop(0, WINDOW_BITS, tree, acc)
+    acc = jax.lax.fori_loop(0, nbits, tree, acc)
     return tuple(a[:, :, 0] for a in acc)
 
 
-def _reduce_combine_t(curve, A, B):
+def _reduce_combine_t(curve, A, B, shifted: bool = False):
     """Cross-lane combine of the reduce kernel's per-lane partials:
-    T_w = C * sum_c B_c + sum_c c*A_c on (L, Wt, C) x3 arrays -> (L, Wt).
+    T_w = C * sum_c B_c + sum_c c*A_c (+ sum_c A_c when shifted) on
+    (L, Wt, C) x3 arrays -> (L, Wt).
 
     One sequential suffix-reduce kernel computes sum_c c*A_c (the weighted
     sum of the A half) and sum_c B_c (the plain sum of the B half) in a
@@ -367,7 +414,7 @@ def _reduce_combine_t(curve, A, B):
     L, Wt, Cw = A[0].shape
     nbits = Cw.bit_length() - 1  # Cw is a power of two
     if os.environ.get("DAVINCI_COMBINE_XLA"):
-        return _reduce_combine_xla(curve, A, B)
+        return _reduce_combine_xla(curve, A, B, shifted)
     Wp = -(-Wt // 128) * 128
 
     def prep(t):  # (L, Wt, Cw) x3 -> (Cw, 3L, Wp); pad lanes are junk
@@ -384,10 +431,14 @@ def _reduce_combine_t(curve, A, B):
     CB = jax.lax.fori_loop(
         0, nbits, lambda _, t: _t_double(curve, t), sumB
     )
-    return _t_add(curve, CB, wA)
+    out = _t_add(curve, CB, wA)
+    if shifted:  # + sum_c A_c: slot i weighs i+1 = (k*C + c) + 1
+        sumA = tuple(A2[c * L : (c + 1) * L, :Wt] for c in range(3))
+        out = _t_add(curve, out, sumA)
+    return out
 
 
-def _reduce_combine_xla(curve, A, B):
+def _reduce_combine_xla(curve, A, B, shifted: bool = False):
     """Hillis-Steele suffix + tree composition (perf-comparison fallback,
     DAVINCI_COMBINE_XLA=1)."""
     L, Wt, Cw = A[0].shape
@@ -398,10 +449,10 @@ def _reduce_combine_xla(curve, A, B):
     def suffix(i, a):
         stride = 1 << i
         valid = c_iota < (Cw - stride)
-        shifted = _t_select(
+        sh = _t_select(
             valid, tuple(jnp.roll(x, -stride, axis=2) for x in a), ident
         )
-        return _t_add(curve, a, shifted)
+        return _t_add(curve, a, sh)
 
     acc = jax.lax.fori_loop(0, nbits, suffix, A)
     acc = _t_select(c_iota >= 1, acc, ident)
@@ -416,7 +467,13 @@ def _reduce_combine_xla(curve, A, B):
     CB = jax.lax.fori_loop(
         0, nbits, lambda _, t: _t_double(curve, t), sumB
     )
-    return _t_add(curve, CB, wA)
+    out = _t_add(curve, CB, wA)
+    if shifted:
+        sumA = tuple(
+            a[:, :, 0] for a in jax.lax.fori_loop(0, nbits, tree, A)
+        )
+        out = _t_add(curve, out, sumA)
+    return out
 
 
 def _horner_t(curve, sums, W: int):
@@ -479,13 +536,15 @@ def _use_scan_kernel(curve) -> bool:
 
 
 def _window_sums_tile_kernel(curve, xs, ys, zs, keys_all, interpret=False):
-    """Kernel-path window sums — returns TRANSPOSED (L, Wt) x3 sums."""
+    """Kernel-path window sums (SIGNED sort keys, see _signed_sort_keys)
+    — returns TRANSPOSED (L, Wt) x3 sums."""
     from davinci_tpu.msm.bucket_kernel import bucket_accumulate_kernel
 
     if interpret:
         # eager kernel (tests), jitted merge+reduce
         buckets, acc, acc_key = bucket_accumulate_kernel(
-            curve, xs, ys, zs, keys_all, COLS, NBUCKETS, True
+            curve, xs, ys, zs, keys_all, COLS, SIGNED_NBUCKETS, True,
+            signed=True,
         )
         return _merge_reduce_t_jit(curve, buckets, acc, acc_key)
     return _window_sums_tile_kernel_jit(curve, xs, ys, zs, keys_all)
@@ -494,7 +553,8 @@ def _window_sums_tile_kernel(curve, xs, ys, zs, keys_all, interpret=False):
 @functools.partial(jax.jit, static_argnums=0)
 def _merge_reduce_t_jit(curve, buckets, acc, acc_key):
     return _bucket_reduce_t(
-        curve, _merge_leftovers_t(curve, buckets, acc, acc_key)
+        curve, _merge_leftovers_t(curve, buckets, acc, acc_key),
+        shifted=True,
     )
 
 
@@ -503,10 +563,11 @@ def _window_sums_tile_kernel_jit(curve, xs, ys, zs, keys_all):
     from davinci_tpu.msm.bucket_kernel import bucket_accumulate_kernel
 
     buckets, acc, acc_key = bucket_accumulate_kernel(
-        curve, xs, ys, zs, keys_all, COLS, NBUCKETS, False
+        curve, xs, ys, zs, keys_all, COLS, SIGNED_NBUCKETS, False,
+        signed=True,
     )
     buckets = _merge_leftovers_t(curve, buckets, acc, acc_key)
-    return _bucket_reduce_t(curve, buckets)
+    return _bucket_reduce_t(curve, buckets, shifted=True)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -601,6 +662,10 @@ def msm(curve, points, scalar_limbs):
                 ]
             )
         return _msm_reference(curve, xs, ys, zs, scalar_limbs)
+    if _use_scan_kernel(curve):
+        # signed recode BEFORE padding: _pad_inputs pads keys with
+        # NBUCKETS, which is exactly the signed scheme's sink key
+        scalar_limbs = _signed_sort_keys(scalar_limbs)
     xs, ys, zs, scalar_limbs = _pad_inputs(curve, xs, ys, zs, scalar_limbs)
     n, W = scalar_limbs.shape
     wt = _window_tile(n, W)
@@ -646,6 +711,11 @@ def msm_many(curve, points, scalar_limbs):
         return tuple(
             jnp.stack([o[c] for o in outs]) for c in range(3)
         )
+    if _use_scan_kernel(curve):
+        # per-scalar signed recode (carry chains stop at window W)
+        scalar_limbs = _signed_sort_keys(
+            scalar_limbs.reshape(M * n0, W)
+        ).reshape(M, n0, W)
     flat = jnp.swapaxes(scalar_limbs, 1, 2).reshape(M * W, n0).T  # (n, M*W)
     xs, ys, zs, flat = _pad_inputs(curve, xs, ys, zs, flat)
     n = flat.shape[0]
@@ -688,6 +758,8 @@ def scalars_to_limbs(spec, scalars) -> np.ndarray:
     loop was a multi-minute host stall at proving-key sizes (millions of
     witness scalars per Groth16 MSM)."""
     W = -(-spec.r.bit_length() // WINDOW_BITS)
+    # signed-digit kernel contract (_signed_sort_keys): top digit <= 2047
+    assert spec.r.bit_length() <= WINDOW_BITS * W - 1, spec.r.bit_length()
     n = len(scalars)
     if n == 0:
         return np.zeros((0, W), np.int32)
@@ -792,7 +864,8 @@ def sharded_msm(curve, points, scalar_limbs, mesh, axis_name="shard"):
                 )
 
                 buckets, acc, acc_key = bucket_accumulate_kernel(
-                    curve, xs, ys, zs, sl.T, COLS, NBUCKETS, interp
+                    curve, xs, ys, zs, sl.T, COLS, SIGNED_NBUCKETS, interp,
+                    signed=True,
                 )
                 buckets = _merge_leftovers_t(curve, buckets, acc, acc_key)
                 # local bucket arrays are tiny vs the point shard: gather
@@ -808,7 +881,7 @@ def sharded_msm(curve, points, scalar_limbs, mesh, axis_name="shard"):
 
                 accum = tuple(g[0] for g in gathered)
                 accum = jax.lax.fori_loop(1, ndev, fold_t, accum)
-                sums = _bucket_reduce_t(curve, accum)
+                sums = _bucket_reduce_t(curve, accum, shifted=True)
                 from davinci_tpu.msm.bucket_kernel import horner_kernel
 
                 out = horner_kernel(curve, sums, W, interp)
@@ -836,6 +909,9 @@ def sharded_msm(curve, points, scalar_limbs, mesh, axis_name="shard"):
         fn = shard_map(local, check_rep=False, **kwargs)
 
     xs, ys, zs = points
+    if pipeline and kernel:
+        # signed recode BEFORE padding (pad keys == the signed sink key)
+        scalar_limbs = _signed_sort_keys(scalar_limbs)
     xs, ys, zs, scalar_limbs = _pad_inputs(
         curve, xs, ys, zs, scalar_limbs, multiple=COLS * ndev
     )

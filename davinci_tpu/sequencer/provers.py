@@ -58,9 +58,18 @@ class ProtocolProvers:
         modes: ProverModes | None = None,
         n_votes_agg: int = 4,
         c4_overrides: dict | None = None,
+        agg_overrides: dict | None = None,
+        curves: dict | None = None,
+        g16s: dict | None = None,
     ):
         """c4_overrides: extra StateTransitionParams fields (include_blob,
-        blob_domain_bits, use_lookup, verify_aggregator, ...)."""
+        blob_domain_bits, use_lookup, verify_aggregator, ...);
+        agg_overrides: extra AggregatorParams fields (native_r, inner_ctx,
+        hash_bytes) for non-default outer curves;
+        curves: circuit -> curve-name map, default {"c2": "bls12_377",
+        "c3": "bw6_761", "c4": "bn254"} (production 2-chain);
+        g16s: curve-name -> prebuilt Groth16 backend, for synthetic curve
+        families (the toy 2-chain prove-tier CI, circuits/toycurve.py)."""
         from davinci_tpu.circuits.artifacts import default_store
 
         self.c2_params = c2_params
@@ -68,8 +77,18 @@ class ProtocolProvers:
         self.modes = modes or ProverModes()
         self.n_votes_agg = n_votes_agg
         self.c4_overrides = c4_overrides or {}
+        self.agg_overrides = agg_overrides or {}
+        self.curves = {"c2": "bls12_377", "c3": "bw6_761", "c4": "bn254"}
+        self.curves.update(curves or {})
+        self.g16s = g16s or {}
         self._c2_rt = None
         self._dummy = None  # (proof_dict, vote_hash) canonical padding
+
+    def _load_or_setup(self, circuit_id, circuit_key, cs):
+        name = self.curves[circuit_key]
+        return self.store.load_or_setup(
+            circuit_id, name, cs, g16=self.g16s.get(name)
+        )
 
     # -- circuit 2: per-vote -------------------------------------------------
 
@@ -135,8 +154,8 @@ class ProtocolProvers:
 
     def _c2_runtime(self, cs):
         if self._c2_rt is None:
-            self._c2_rt = self.store.load_or_setup(
-                self.c2_params.circuit_id(), "bls12_377", cs
+            self._c2_rt = self._load_or_setup(
+                self.c2_params.circuit_id(), "c2", cs
             )
         return self._c2_rt
 
@@ -198,6 +217,7 @@ class ProtocolProvers:
             dummy_public=dummy_hash,
             n_votes=self.n_votes_agg,
             inner_committed=self.c2_params.use_lookup,
+            **self.agg_overrides,
         )
         hashes, proofs = [], []
         for b in ballots[: self.n_votes_agg]:
@@ -224,7 +244,7 @@ class ProtocolProvers:
                 "solved": bool(ok), "batch_hash": hex(bh),
                 "vote_hashes": [hex(h) for h in hashes],
             }
-        rt = self.store.load_or_setup(params.circuit_id(), "bw6_761", cs)
+        rt = self._load_or_setup(params.circuit_id(), "c3", cs)
         proof = rt.prove_and_verify(cs)
         return {
             "kind": "aggregate", "count": len(proofs), "proven": True,
@@ -254,7 +274,7 @@ class ProtocolProvers:
                 "kind": "state_transition", "proven": False,
                 "solved": bool(ok), "public": [hex(x) for x in publics],
             }
-        rt = self.store.load_or_setup(params.circuit_id(), "bn254", cs)
+        rt = self._load_or_setup(params.circuit_id(), "c4", cs)
         if params.use_lookup:
             proof = rt.prove_and_verify_committed(
                 lambda challenge, blind: build_state_transition_circuit(

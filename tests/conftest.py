@@ -75,8 +75,15 @@ def _setup_disk_cache():
                 pass  # stale/corrupt cache: fall through to fresh setup
         pk, vk = orig(self, cs)
         try:
-            pk_p.write_bytes(pk_to_bytes(pk, self.g1, self.g2))
-            vk_p.write_bytes(vk_to_bytes(vk, self.g1, self.g2))
+            # atomic publish: xdist workers may race on the same key
+            pid = os.getpid()
+            for p, data in (
+                (pk_p, pk_to_bytes(pk, self.g1, self.g2)),
+                (vk_p, vk_to_bytes(vk, self.g1, self.g2)),
+            ):
+                tmp = p.with_suffix(p.suffix + f".tmp{pid}")
+                tmp.write_bytes(data)
+                tmp.replace(p)
         except Exception:
             pass
         return pk, vk
