@@ -76,6 +76,16 @@ class CircuitRuntime:
         ):
             return self.g16.prove_committed(self.pk, build_fn, **kw)
 
+    def prove_committed_reuse(self, cs, **kw):
+        """Steady-state committed re-prove: reuse an already-built system
+        (fresh blind + in-place challenge re-solve; zero Python
+        constraint construction)."""
+        with log.info_time(
+            "circuit.prove_committed_reuse", circuit=self.circuit_id,
+            curve=self.curve_name,
+        ):
+            return self.g16.prove_committed_reuse(self.pk, cs, **kw)
+
     def verify_committed(self, proof, public_inputs) -> bool:
         return self.g16.verify_committed(self.vk, proof, public_inputs)
 

@@ -231,11 +231,15 @@ class DeviceField:
 
     def from_mont(self, mont: jnp.ndarray) -> jnp.ndarray:
         """Montgomery limbs -> raw residue limbs (REDC with 1)."""
-        l = self.L
-        t = jnp.concatenate(
-            [mont, jnp.zeros(mont.shape[:-1] + (l,), jnp.int32)], axis=-1
-        )
-        return self._redc(t)
+
+        def one(m):
+            l = self.L
+            t = jnp.concatenate(
+                [m, jnp.zeros(m.shape[:-1] + (l,), jnp.int32)], axis=-1
+            )
+            return self._redc(t)
+
+        return self._batched_cap(one, (mont,), self.L)
 
     # -- core ops -----------------------------------------------------------
 
@@ -275,11 +279,47 @@ class DeviceField:
         s = carry_fix(t + mp, 2 * l)
         return self._csub_p(s[..., l:])
 
+    # The schoolbook conv materializes a (batch, L, 2L) int32 operand
+    # (conv_full's bexp).  At quotient-NTT domains (2^23 x L=22 for the
+    # full-size vote verifier) that is a 32 GB buffer — over HBM.  Muls
+    # whose expanded intermediate would exceed this cap run as a
+    # lax.map over fixed power-of-two chunks; smaller shapes keep the
+    # exact graph they had (compile caches stay valid).
+    _MUL_INTERMED_CAP = 1 << 30  # bytes
+
+    def _mul_chunk(self) -> int:
+        per = self.L * 2 * self.L * 4
+        c = max(1, self._MUL_INTERMED_CAP // per)
+        return max(4096, 1 << (c.bit_length() - 1))
+
+    def _batched_cap(self, fn, arrays, out_last: int):
+        """Apply fn (elementwise over the batch axes, last dim = limbs)
+        in sequential chunks when the batch is huge."""
+        shape = arrays[0].shape[:-1]
+        batch = 1
+        for d in shape:
+            batch *= d
+        chunk = self._mul_chunk()
+        if batch <= chunk:
+            return fn(*arrays)
+        flat = [a.reshape(-1, a.shape[-1]) for a in arrays]
+        pad = (-batch) % chunk
+        if pad:
+            flat = [jnp.pad(f, ((0, pad), (0, 0))) for f in flat]
+        chunks = [f.reshape(-1, chunk, f.shape[-1]) for f in flat]
+        out = jax.lax.map(lambda xs: fn(*xs), tuple(chunks))
+        return out.reshape(-1, out_last)[:batch].reshape(
+            shape + (out_last,)
+        )
+
+    def _mul_direct(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        t = carry_fix(conv_full(a, b), 2 * self.L)
+        return self._redc(t)
+
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product: (a*b*R^{-1}) mod p."""
         a, b = jnp.broadcast_arrays(a, b)
-        t = carry_fix(conv_full(a, b), 2 * self.L)
-        return self._redc(t)
+        return self._batched_cap(self._mul_direct, (a, b), self.L)
 
     def square(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.mul(a, a)

@@ -446,21 +446,30 @@ class Groth16:
             cosets = [
                 coset_fwd(inv(df.encode(v))) for v in (az, bz, czv)
             ]
-            ab = df.mul(cosets[0], cosets[1])
-            num = df.sub(ab, cosets[2])
+            num = df.sub(df.mul(cosets[0], cosets[1]), cosets[2])
+            del cosets  # (N, L) x3 — HBM headroom for the h transform
             zc_inv = pow((pow(g, N, r) - 1) % r, -1, r)
             he = df.mul(num, df.encode_scalar(zc_inv))
+            del num
             h_coeffs = coset_inv(he)
+            del he
             # raw base-2^12 limbs ARE the MSM scalar format (WINDOW_BITS ==
             # LIMB_BITS): h feeds the z_g1 MSM without a host round-trip
             h_raw = df.from_mont(h_coeffs)
+            del h_coeffs
             assert not bool(jnp.any(h_raw[N - 1] != 0)), (
                 "quotient degree overflow"
             )
 
         # --- MSMs ---------------------------------------------------------
+        # device-memory discipline at full-size domains (2^23 x L=22 on a
+        # 16 GB chip): the h MSM runs FIRST (h_raw is already device-
+        # resident and is the largest scalar set), then each per-set
+        # unpack is dropped as soon as its MSM consumed it
         with log.info_time("groth16.msms", n_vars=len(z)):
             npub = 1 + cs.num_public
+            h_lin = self._msm_enc(self.dc, self.g1, pk.z_g1, h_raw[: N - 1])
+            del h_raw
             if jax.default_backend() == "tpu":
                 # upload the witness ONCE as packed uint32 words (32 B per
                 # scalar vs 88 B expanded); per-MSM scalar sets are device
@@ -472,24 +481,29 @@ class Groth16:
                 a_S = unpack_limbs(
                     Zp if ai is None else jnp.take(Zp, ai, axis=0), W
                 )
+                a_lin = self._msm_enc(self.dc, self.g1, pk.a_g1, a_S)
+                del a_S
+                k_S = unpack_limbs(jnp.take(Zp, ki, axis=0), W)
+                k_lin = self._msm_enc(self.dc, self.g1, pk.k_g1, k_S)
+                del k_S
                 b_S = unpack_limbs(
                     Zp if bi is None else jnp.take(Zp, bi, axis=0), W
                 )
-                k_S = unpack_limbs(jnp.take(Zp, ki, axis=0), W)
+                del Zp
             else:
                 # CPU tests: one bytes-vectorized host pass + numpy gathers
                 Z = scalars_to_limbs(self.g1, z)
                 a_S = Z[pk.a_indices] if pk.a_indices is not None else Z
-                b_S = Z[pk.b_indices] if pk.b_indices is not None else Z
+                a_lin = self._msm_enc(self.dc, self.g1, pk.a_g1, a_S)
                 if pk.k_priv_indices is not None:
                     k_S = Z[np.asarray(pk.k_priv_indices, np.int64)]
                 else:
                     k_S = Z[npub:]
-            a_lin = self._msm_enc(self.dc, self.g1, pk.a_g1, a_S)
+                k_lin = self._msm_enc(self.dc, self.g1, pk.k_g1, k_S)
+                b_S = Z[pk.b_indices] if pk.b_indices is not None else Z
             b1_lin = self._msm_enc(self.dc, self.g1, pk.b_g1, b_S)
-            k_lin = self._msm_enc(self.dc, self.g1, pk.k_g1, k_S)
-            h_lin = self._msm_enc(self.dc, self.g1, pk.z_g1, h_raw[: N - 1])
             b2_lin = self._msm_enc(self.dc2, self.g2, pk.b_g2, b_S)
+            del b_S
 
         # --- assembly (host, tiny) ---------------------------------------
         A = pk.alpha_g1.add(a_lin).add(pk.delta_g1.mul(rr))
@@ -534,6 +548,31 @@ class Groth16:
         assert [cs.values[i] for i in cs.committed] == committed_vals, (
             "committed wires must not depend on the challenge"
         )
+        base = self.prove(pk, cs, r_rand=r_rand, s_rand=s_rand)
+        return CommittedProof(a=base.a, b=base.b, c=base.c, d=D, pok=pok)
+
+    def prove_committed_reuse(self, pk: ProvingKey, cs, rng=None,
+                              r_rand=None, s_rand=None) -> "CommittedProof":
+        """Re-prove a previously built committed system with ZERO Python
+        constraint construction (the record-once witness plan's steady
+        state; gnark's compile-once/solve-many CCS role,
+        circuits/artifacts.go:74).
+
+        Fresh blinding wire (zero-knowledge of D) + in-place challenge
+        re-solve via the circuit's _refinalize hook; structure and all
+        challenge-independent wires are reused as-is."""
+        refinalize = getattr(cs, "_refinalize", None)
+        assert refinalize is not None, (
+            "prove_committed_reuse needs a circuit with a _refinalize hook"
+        )
+        rng = rng or _random.Random()
+        cs.values[cs.committed[-1]] = rng.randrange(self.r)  # blind wire
+        committed_vals = [cs.values[i] for i in cs.committed]
+        D = self._msm_enc(self.dc, self.g1, pk.k_commit_g1, committed_vals)
+        pok = self._msm_enc(
+            self.dc, self.g1, pk.k_commit_eta_g1, committed_vals
+        )
+        refinalize(self.commitment_challenge(D))
         base = self.prove(pk, cs, r_rand=r_rand, s_rand=s_rand)
         return CommittedProof(a=base.a, b=base.b, c=base.c, d=D, pok=pok)
 

@@ -108,4 +108,8 @@ def test_aggregator_full_batch_60(inner_proofs):
         vote_hashes=[h for h, _ in out[1:]], proofs=[p for _, p in out[1:]]
     )
     cs = build_aggregator_circuit(params, w)
+    print(
+        f"\naggregator 60-slot build: {len(cs.constraints):,} constraints, "
+        f"{cs.num_variables:,} variables"
+    )
     assert cs.check_satisfied()

@@ -128,3 +128,41 @@ def test_emulated_with_lookup_checker_cost():
     # the fixed 2^12-entry table amortizes: at ~30 muls the lookup tier
     # must be clearly cheaper than bit decomposition
     assert n_lookup < 0.7 * n_bits_version, (n_lookup, n_bits_version)
+
+
+def test_prove_committed_reuse_steady_state():
+    """prove_committed_reuse: a SECOND proof from the same built system —
+    zero Python constraint construction, fresh blind (distinct D), valid
+    verification; the builder is provably not re-entered."""
+    g16 = Groth16("bn254")
+    vals = [3, 200, 255, 0]
+    calls = []
+
+    def build(challenge, blind):
+        calls.append(challenge)
+        cs = ConstraintSystem(F.BN254_R)
+        marker = cs.pub_input(7)
+        rc = LookupRangeChecker(cs, table_bits=8)
+        for v in vals:
+            var = cs.priv_input(v)
+            rc.range_check(var, 8)
+        rc.finalize(challenge, blind)
+        cs._refinalize = rc.refinalize
+        cs.assert_eq(marker, cs.constant(7))
+        return cs
+
+    cs0 = build(0, 1)
+    pk, vk = g16.setup(cs0)
+    rng = random.Random(31)
+    n_calls = len(calls)
+    p1 = g16.prove_committed_reuse(pk, cs0, rng=rng, r_rand=5, s_rand=9)
+    p2 = g16.prove_committed_reuse(pk, cs0, rng=rng, r_rand=6, s_rand=10)
+    assert len(calls) == n_calls, "reuse path re-entered the builder"
+    assert g16.verify_committed(vk, p1, [7])
+    assert g16.verify_committed(vk, p2, [7])
+    # D is deterministic in this scheme (gnark Groth16-with-commitments
+    # role: the commitment binds, the PoK proves knowledge; the appended
+    # blind wire has a zero commitment basis since it joins no
+    # constraint), while a/b/c re-randomize per proof
+    assert p1.d == p2.d
+    assert (p1.a, p1.c) != (p2.a, p2.c)
