@@ -912,7 +912,11 @@ def sharded_msm(curve, points, scalar_limbs, mesh, axis_name="shard"):
     if pipeline and kernel:
         # signed recode BEFORE padding (pad keys == the signed sink key)
         scalar_limbs = _signed_sort_keys(scalar_limbs)
+    # the pipeline branch needs COLS-wide shards for the bucket scan; the
+    # reference branch only needs equal power-of-two shards (its tree
+    # reduction) — COLS-padding there just multiplies CPU execution time
     xs, ys, zs, scalar_limbs = _pad_inputs(
-        curve, xs, ys, zs, scalar_limbs, multiple=COLS * ndev
+        curve, xs, ys, zs, scalar_limbs,
+        multiple=(COLS * ndev) if pipeline else ndev,
     )
     return jax.jit(fn)(xs, ys, zs, scalar_limbs)

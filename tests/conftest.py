@@ -9,9 +9,13 @@ use."""
 
 import os
 
-# must be set before the cpu client initializes (read at backend init)
+# must be set before the cpu client initializes (read at backend init).
+# --xla_cpu_max_isa=AVX2 keeps CPU AOT cache entries loadable across the
+# fleet's machine recycles (feature-pinned entries fail with "machine
+# features ... vs host machine features" and force full recompiles).
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8 --xla_cpu_max_isa=AVX2"
 )
 
 import jax
