@@ -22,6 +22,114 @@ import hashlib
 from davinci_tpu.groth16.r1cs import ConstraintSystem, LinComb
 
 
+class _TowerSumProducts:
+    """Lazy-reduction tower multiplication over a sum-of-products base.
+
+    When the base ops provider exposes `sum_products` (EmulatedOps — ONE
+    quotient/remainder/carry chain for a whole weighted sum of products),
+    tower multiplication flattens recursively down to base-coordinate
+    product terms, so an Fp12 mul reduces once per OUTPUT COORDINATE
+    (12 reductions) instead of once per base-field product (~54 with
+    Karatsuba) — the dominant cost of emulated pairings (reference
+    circuits/voteverifier via gnark std/math/emulated lazy reduction).
+    Native bases don't set the flag and keep the Karatsuba paths (a
+    native product is a single constraint; flattening would add work).
+
+    Host-side constant ("h_*") values: ints are universal scalars at any
+    level; tuples carry per-coordinate base host values.  Multipliers stay
+    small (nonresidue products) — the leaf signs-reduces mod p.
+    """
+
+    @property
+    def supports_sum_products(self) -> bool:
+        return getattr(self.base, "supports_sum_products", False)
+
+    # -- host constant algebra ----------------------------------------------
+
+    def h_signed(self, v):
+        if isinstance(v, int):
+            return self.base.h_signed(v)
+        return tuple(self.base.h_signed(x) for x in v)
+
+    def h_is_zero(self, v) -> bool:
+        if isinstance(v, int):
+            return v == 0
+        return all(self.base.h_is_zero(x) for x in v)
+
+    def h_add(self, a, b):
+        if isinstance(a, int) and isinstance(b, int):
+            return a + b
+        a, b = self.h_tuple(a), self.h_tuple(b)
+        return tuple(self.base.h_add(x, y) for x, y in zip(a, b))
+
+    def h_tuple(self, m):
+        if isinstance(m, int):
+            return (m,) + (0,) * (self.deg - 1)
+        assert len(m) == self.deg
+        return m
+
+    @property
+    def _h_nr(self):
+        """Host value of the nonresidue (a base-level host constant)."""
+        v = getattr(self, "_h_nr_cache", None)
+        if v is None:
+            v = self._h_nr_cache = self.h_signed_base(
+                self.base.value(self.nr)
+            )
+        return v
+
+    def h_signed_base(self, v):
+        return self.base.h_signed(v)
+
+    def h_mul(self, a, b):
+        """Host product of two host values AT THIS LEVEL."""
+        B = self.base
+        if isinstance(a, int) and isinstance(b, int):
+            return a * b
+        if isinstance(a, int):
+            return tuple(B.h_mul(a, x) for x in self.h_tuple(b))
+        if isinstance(b, int):
+            return tuple(B.h_mul(x, b) for x in self.h_tuple(a))
+        out = [0] * self.deg
+        for i, j, k, w in self._mul_tab():
+            out[k] = B.h_add(out[k], B.h_mul(B.h_mul(w, a[i]), b[j]))
+        return tuple(out)
+
+    # -- the flattening ------------------------------------------------------
+
+    def sum_products(self, terms, lin=()):
+        """sum_t m_t * a_t * b_t + sum_u k_u * x_u, flattened into one
+        base sum_products per output coordinate."""
+        B = self.base
+        d = self.deg
+        tab = self._mul_tab()
+        out_t = [[] for _ in range(d)]
+        out_l = [[] for _ in range(d)]
+        for a, b, m in terms:
+            mt = self.h_tuple(m)
+            # m . (a . b): compose the constant-mul structure (m as left
+            # operand, coords l) with the product structure (coords i, j)
+            for l, kp, k, w2 in tab:
+                ml = mt[l]
+                if B.h_is_zero(ml) if not isinstance(ml, int) else ml == 0:
+                    continue
+                w2m = B.h_mul(w2, ml)
+                for i, j, kp2, w1 in tab:
+                    if kp2 != kp:
+                        continue
+                    out_t[k].append((a[i], b[j], B.h_mul(w2m, w1)))
+        for x, m in lin:
+            mt = self.h_tuple(m)
+            for l, kp, k, w2 in tab:
+                ml = mt[l]
+                if B.h_is_zero(ml) if not isinstance(ml, int) else ml == 0:
+                    continue
+                out_l[k].append((x[kp], B.h_mul(w2, ml)))
+        return tuple(
+            B.sum_products(out_t[k], out_l[k]) for k in range(d)
+        )
+
+
 class NativeOps:
     """Field ops over the circuit's own scalar field: elements are LinCombs."""
 
@@ -81,8 +189,15 @@ class NativeOps:
         return self.cs.is_zero(a)
 
 
-class QuadOps:
+class QuadOps(_TowerSumProducts):
     """K[u]/(u^2 - nr) over a base ops provider.  Elements: (a0, a1)."""
+
+    deg = 2
+
+    def _mul_tab(self):
+        # (i, j, out_coord, weight): a_i * b_j contributes weight to coord
+        nr = self._h_nr
+        return [(0, 0, 0, 1), (1, 1, 0, nr), (0, 1, 1, 1), (1, 0, 1, 1)]
 
     def __init__(self, base, nr, nr_mul=None):
         self.base = base
@@ -123,6 +238,8 @@ class QuadOps:
         return (B.smul(a[0], k), B.smul(a[1], k))
 
     def mul(self, a, b):
+        if self.supports_sum_products:
+            return self.sum_products([(a, b, 1)])
         # Karatsuba: 3 base muls
         B = self.base
         t0 = B.mul(a[0], b[0])
@@ -132,6 +249,8 @@ class QuadOps:
         return (B.add(t0, self._nr_mul(t1)), mid)
 
     def square(self, a):
+        if self.supports_sum_products:
+            return self.sum_products([(a, a, 1)])
         # complex squaring: 2 base muls + 2 nonresidue constant-muls
         B = self.base
         t = B.mul(a[0], a[1])
@@ -177,8 +296,18 @@ class QuadOps:
         return self.cs.mul(z0, z1)
 
 
-class CubicOps:
+class CubicOps(_TowerSumProducts):
     """K[v]/(v^3 - nr) over a base ops provider.  Elements: (a0, a1, a2)."""
+
+    deg = 3
+
+    def _mul_tab(self):
+        nr = self._h_nr
+        return [
+            (0, 0, 0, 1), (1, 2, 0, nr), (2, 1, 0, nr),
+            (0, 1, 1, 1), (1, 0, 1, 1), (2, 2, 1, nr),
+            (0, 2, 2, 1), (1, 1, 2, 1), (2, 0, 2, 1),
+        ]
 
     def __init__(self, base, nr, nr_mul=None):
         self.base = base
@@ -220,6 +349,8 @@ class CubicOps:
         return tuple(B.smul(x, k) for x in a)
 
     def mul(self, a, b):
+        if self.supports_sum_products:
+            return self.sum_products([(a, b, 1)])
         # Karatsuba-style (6 base muls), mirrors towers.CubicExt.mul
         B, nr = self.base, self.nr
         t0 = B.mul(a[0], b[0])
@@ -234,6 +365,8 @@ class CubicOps:
         return (c0, c1, c2)
 
     def square(self, a):
+        if self.supports_sum_products:
+            return self.sum_products([(a, a, 1)])
         return self.mul(a, a)
 
     def mul_base(self, a, c):

@@ -434,6 +434,221 @@ class EmulatedOps:
     def square(self, a: EmuVar) -> EmuVar:
         return self.mul(a, a)
 
+    # -- aggregated sum-of-products (ONE reduction for many muls) ------------
+
+    supports_sum_products = True
+
+    # host constant algebra for the tower flattening (algebra.py
+    # _TowerSumProducts): leaf values are SIGNED representatives mod p so
+    # nonresidue-derived multipliers stay small
+    def h_signed(self, v: int) -> int:
+        v = int(v) % self.p
+        return v - self.p if v > self.p // 2 else v
+
+    def h_is_zero(self, v) -> bool:
+        return int(v) % self.p == 0
+
+    def h_add(self, a: int, b: int) -> int:
+        return self.h_signed(int(a) + int(b))
+
+    def h_mul(self, a: int, b: int) -> int:
+        return self.h_signed(int(a) * int(b))
+
+    def _limb_prod(self, la, lb):
+        """Cached product wire of two limb LinCombs: tower flattening
+        re-uses the same limb pairs across output coordinates, and each
+        pair needs only one R1CS product constraint ever."""
+        if la.is_constant():
+            return lb * la.value if la.value else None
+        if lb.is_constant():
+            return la * lb.value if lb.value else None
+        cache = getattr(self, "_prod_cache", None)
+        if cache is None:
+            cache = self._prod_cache = {}
+        key = (id(la), id(lb)) if id(la) <= id(lb) else (id(lb), id(la))
+        # entries hold strong refs to (la, lb): id() keys are only valid
+        # while the operands are alive (a freed LinComb's id can be
+        # recycled, silently aliasing a different product wire)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit[2]
+        out = self.cs.mul(la, lb)
+        cache[key] = (la, lb, out)
+        return out
+
+    def sum_products(self, terms, lin=()) -> EmuVar:
+        """r = (sum_t m_t * a_t * b_t  +  sum_u k_u * x_u) mod p with ONE
+        quotient/remainder allocation and ONE carry chain — the lazy-
+        reduction core that lets tower multiplication reduce once per
+        OUTPUT COORDINATE instead of once per base-field product (gnark's
+        std/math/emulated mulmod-aggregation role; the dominant cost of
+        the in-circuit pairing, reference circuits/voteverifier).
+
+        terms: iterable of (a, b, m): EmuVar x EmuVar x signed int
+        multiplier (small — nonresidue-derived).  lin: iterable of
+        (x, m): EmuVar x signed int.  Negative multipliers are handled by
+        padding the affected columns with a multiple of p (the sub()
+        scheme lifted to product columns), so limb values stay
+        non-negative and the carry chain stays sound."""
+        cs, w, p = self.cs, self.w, self.p
+        norm_terms = []
+        const_int = 0  # fully-constant contributions, as a plain integer
+        lin_small = []  # (x, m) small signed
+        lin_big = []  # (x, c) large positive constant coefficient
+        for a, b, m in terms:
+            m = self.h_signed(int(m))
+            if m == 0:
+                continue
+            assert abs(m) < (1 << 20), "sum_products multiplier too large"
+            ka, kb = self._const_val(a), self._const_val(b)
+            if ka is not None and kb is not None:
+                const_int += m * ka * kb
+                continue
+            if ka is not None:
+                a, ka, kb = b, kb, ka
+            if kb is not None:
+                c = kb * m
+                if abs(c) < (1 << 20):
+                    lin_small.append((a, c))
+                else:
+                    lin_big.append((self._maybe_reduce(a), c % p))
+                continue
+            norm_terms.append((a, b, m))
+        for x, m in lin:
+            m = self.h_signed(int(m))
+            if m == 0:
+                continue
+            kx = self._const_val(x)
+            if kx is not None:
+                const_int += m * kx
+            elif abs(m) < (1 << 20):
+                lin_small.append((x, m))
+            else:
+                lin_big.append((self._maybe_reduce(x), m % p))
+        if not norm_terms and not lin_small and not lin_big:
+            return self.constant(const_int % p)
+
+        # pre-reduce operands until the worst-case column total fits the
+        # native field with carry headroom (static bounds only: the
+        # decision depends on tracked bounds, never witness values)
+        cap_bits = cs.p.bit_length() - 6
+        norm_terms = [
+            (self._maybe_reduce(a), self._maybe_reduce(b), m)
+            for a, b, m in norm_terms
+        ]
+        lin_small = [(self._maybe_reduce(x), m) for x, m in lin_small]
+        while True:
+            worst = sum(
+                abs(m) * a.bound * b.bound * min(len(a.limbs), len(b.limbs))
+                for a, b, m in norm_terms
+            ) + sum(abs(m) * x.bound for x, m in lin_small) + sum(
+                x.bound * ((1 << w) - 1) * len(x.limbs) for x, _ in lin_big
+            )
+            if worst.bit_length() < cap_bits or not norm_terms:
+                break
+            # reduce the fattest product operand
+            fat_i = max(
+                range(len(norm_terms)),
+                key=lambda i: max(
+                    norm_terms[i][0].bound, norm_terms[i][1].bound
+                ),
+            )
+            a, b, m = norm_terms[fat_i]
+            if a.bound >= b.bound:
+                a = self.reduce(a)
+            else:
+                b = self.reduce(b)
+            norm_terms[fat_i] = (a, b, m)
+
+        K = max(
+            [len(a.limbs) + len(b.limbs) - 1 for a, b, _ in norm_terms]
+            + [len(x.limbs) for x, _ in lin_small]
+            + [
+                len(x.limbs) + len(self._split_exact(c)) - 1
+                for x, c in lin_big
+            ]
+            + [self.n]
+        )
+        zero = cs.constant(0)
+        cols = [zero for _ in range(K)]
+        col_ints = [0] * K
+        col_pos = [0] * K  # static upper bound of positive contributions
+        col_neg = [0] * K  # static upper bound of |negative| contributions
+        for a, b, m in norm_terms:
+            a_ints = [l.value for l in a.limbs]
+            b_ints = [l.value for l in b.limbs]
+            bb = a.bound * b.bound * abs(m)
+            for i in range(len(a.limbs)):
+                for j in range(len(b.limbs)):
+                    prod = self._limb_prod(a.limbs[i], b.limbs[j])
+                    if prod is None:
+                        continue
+                    cols[i + j] = cols[i + j] + prod * m
+                    col_ints[i + j] += a_ints[i] * b_ints[j] * m
+                    if m > 0:
+                        col_pos[i + j] += bb
+                    else:
+                        col_neg[i + j] += bb
+        for x, m in lin_small:
+            for i, l in enumerate(x.limbs):
+                cols[i] = cols[i] + l * m
+                col_ints[i] += l.value * m
+                if m > 0:
+                    col_pos[i] += x.bound * abs(m)
+                else:
+                    col_neg[i] += x.bound * abs(m)
+        for x, c in lin_big:
+            c_limbs = self._split_exact(c)
+            x_ints = [l.value for l in x.limbs]
+            for i in range(len(x.limbs)):
+                for j, cj in enumerate(c_limbs):
+                    if cj:
+                        cols[i + j] = cols[i + j] + x.limbs[i] * cj
+                        col_ints[i + j] += x_ints[i] * cj
+                        col_pos[i + j] += x.bound * cj
+        # constant contribution (may be negative: fold into the padding)
+        ci = const_int
+        if ci > 0:
+            for i, cl in enumerate(self._split_exact(ci)):
+                if i >= K:
+                    K_new = i + 1
+                    cols += [zero] * (K_new - K)
+                    col_ints += [0] * (K_new - K)
+                    col_pos += [0] * (K_new - K)
+                    col_neg += [0] * (K_new - K)
+                    K = K_new
+                if cl:
+                    cols[i] = cols[i] + cs.constant(cl)
+                    col_ints[i] += cl
+                    col_pos[i] += cl
+        elif ci < 0:
+            col_neg[0] += -ci
+            col_ints[0] += ci  # integer truth; pad restores positivity
+
+        if any(col_neg):
+            # one multiple of p whose column limbs dominate every negative
+            # bound: total = sum col_neg[c] 2^(wc) rounded up to = 0 mod p
+            base = sum(cn << (w * c) for c, cn in enumerate(col_neg))
+            delta = (-base) % p
+            assert delta >> (w * K) == 0, "padding exceeds column span"
+            mask = (1 << w) - 1
+            for c in range(K):
+                pad_c = col_neg[c] + ((delta >> (w * c)) & mask)
+                if pad_c:
+                    cols[c] = cols[c] + cs.constant(pad_c)
+                    col_ints[c] += pad_c
+                    col_pos[c] += pad_c
+        assert all(v >= 0 for v in col_ints), "negative column after padding"
+
+        v = sum(ci2 << (w * c) for c, ci2 in enumerate(col_ints))
+        q_int, r_int = divmod(v, p)
+        q_max = max(1, sum(cp << (w * c) for c, cp in enumerate(col_pos)) // p)
+        q = self._alloc_q(q_int, q_max)
+        r = self.alloc(r_int)
+        R, R_ints, R_max = self._qr_terms(q, r)
+        self._carry_check(cols, col_ints, R, R_ints, col_pos, R_max)
+        return r
+
     def reduce(self, a: EmuVar) -> EmuVar:
         """Canonical representative (< p, limbs range-checked)."""
         v = self.raw_int(a)

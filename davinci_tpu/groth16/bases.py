@@ -20,7 +20,7 @@ class EncodedBases:
     """(X, Y, Z) numpy int32 arrays shaped (n, L) (G1) or (n, 2, L) (G2),
     Montgomery limbs, z in {0, one_mont} per the MSM affine contract."""
 
-    __slots__ = ("x", "y", "z", "_dev", "_dev_padded")
+    __slots__ = ("x", "y", "z", "_dev", "_dev_padded", "_dev_packed")
 
     def __init__(self, x, y, z):
         self.x = np.asarray(x, np.int32)
@@ -29,6 +29,7 @@ class EncodedBases:
         assert self.x.shape == self.y.shape == self.z.shape
         self._dev = None
         self._dev_padded = None
+        self._dev_packed = None
 
     def __len__(self) -> int:
         return self.x.shape[0]
@@ -59,9 +60,22 @@ class EncodedBases:
             )
         return self._dev_padded
 
+    def device_packed(self, seg: int, curve) -> tuple:
+        """(packed planes, is_inf) of the seg-padded bases for the scan
+        kernel's fixed-base fast path (bucket_kernel.pack_points) —
+        computed once per PK and reused by every prove (G1 only)."""
+        if self._dev_packed is None or self._dev_packed[0].shape[0] != seg:
+            from davinci_tpu.msm.pippenger import _pack_points_jit
+
+            self._dev_packed = tuple(
+                _pack_points_jit(curve, *self.device_padded(seg))
+            )
+        return self._dev_packed
+
     def drop_device(self):
         self._dev = None
         self._dev_padded = None
+        self._dev_packed = None
 
     def __eq__(self, other):
         if not isinstance(other, EncodedBases):

@@ -708,7 +708,14 @@ class Groth16:
                 S = jnp.pad(S_full, ((0, seg - S_full.shape[0]), (0, 0)))
         else:
             S = S_full
-        out = msm(dc, arrs, jnp.asarray(S))
+        from davinci_tpu.msm.pippenger import _use_scan_kernel
+
+        # fixed-base fast path: PK bases never change between proves, so
+        # the scan kernel's 16-bit plane repack is computed once per PK
+        precomp = (
+            bases.device_packed(seg, dc) if _use_scan_kernel(dc) else None
+        )
+        out = msm(dc, arrs, jnp.asarray(S), precomp=precomp)
         return dc.decode_points(tuple(a[None] for a in out))[0]
 
     def _msm_enc_segmented(self, dc, gspec, bases, S_full, seg):

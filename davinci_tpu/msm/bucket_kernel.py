@@ -188,6 +188,39 @@ def _bucket_scan_impl(curve, pts_arr, keys_arr, interpret, signed=False):
     )
 
 
+def pack_points(curve, xs, ys, zs):
+    """(n, L) coords -> ((n, LP) packed 16-bit planes, (n,) is_inf).
+
+    Dense base-2^16 repack: 12-bit limbs leave 20 dead bits per int32
+    plane; ceil(12L/16) planes of (x16 | y16 << 16) cut the sorted-stream
+    gather traffic by a further 23% (the measured e2e bottleneck).  A
+    16-bit window over 12-bit limbs spans at most two limbs (the offset
+    16j mod 12 cycles 0/4/8, so limb q and q+1 always cover it).
+
+    Depends only on the POINTS — proving-key MSM bases are fixed across
+    proves, so callers cache this (EncodedBases.device_packed) and skip
+    the repack on every MSM call (ICICLE's precompute role).
+    """
+    L = xs.shape[-1]
+    LP = (12 * L + 15) // 16
+
+    def pack16(a):  # (n, L) 12-bit limbs -> (n, LP) 16-bit planes
+        planes = []
+        for j in range(LP):
+            bit = 16 * j
+            q, s = bit // 12, bit % 12
+            v = a[:, q] >> s
+            if q + 1 < L:
+                v = v | (a[:, q + 1] << (12 - s))
+            planes.append(v & 0xFFFF)
+        return jnp.stack(planes, axis=1)
+
+    packed = jnp.bitwise_or(pack16(xs), jnp.left_shift(pack16(ys), 16))
+    # infinity (z == 0) -> sink key in every window; z is 0-or-1 encoded
+    is_inf = jnp.all(zs == 0, axis=-1)  # (n,)
+    return packed, is_inf
+
+
 def bucket_accumulate_kernel(
     curve, xs, ys, zs, keys_all, cols: int, nbuckets: int,
     interpret: bool = False, signed: bool = False,
@@ -207,36 +240,27 @@ def bucket_accumulate_kernel(
     suffix-sum merge (pippenger._merge_leftovers_t) — the pipeline stays
     in the limb-major layout end-to-end.
     """
+    packed, is_inf = pack_points(curve, xs, ys, zs)
+    return bucket_accumulate_packed(
+        curve, packed, is_inf, keys_all, cols, nbuckets, interpret, signed
+    )
+
+
+def bucket_accumulate_packed(
+    curve, packed, is_inf, keys_all, cols: int, nbuckets: int,
+    interpret: bool = False, signed: bool = False,
+):
+    """bucket_accumulate_kernel over pre-packed planes (see pack_points)."""
     Wt, n = keys_all.shape
-    L = xs.shape[-1]
+    LP = packed.shape[-1]
+    L = curve.df.L
+    assert (12 * L + 15) // 16 == LP
     assert n % cols == 0
     rows = n // cols
     nl = Wt * cols
     sink = 2 * nbuckets if signed else nbuckets
 
-    # infinity (z == 0) -> sink key in every window; z is 0-or-1 encoded
-    is_inf = jnp.all(zs == 0, axis=-1)  # (n,)
     keys_all = jnp.where(is_inf[None, :], sink, keys_all)
-
-    # dense base-2^16 repack: 12-bit limbs leave 20 dead bits per int32
-    # plane; ceil(12L/16) planes of (x16 | y16 << 16) cut the sorted-stream
-    # gather traffic by a further 23% (the measured e2e bottleneck).  A
-    # 16-bit window over 12-bit limbs spans at most two limbs (the offset
-    # 16j mod 12 cycles 0/4/8, so limb q and q+1 always cover it).
-    LP = (12 * L + 15) // 16
-
-    def pack16(a):  # (n, L) 12-bit limbs -> (n, LP) 16-bit planes
-        planes = []
-        for j in range(LP):
-            bit = 16 * j
-            q, s = bit // 12, bit % 12
-            v = a[:, q] >> s
-            if q + 1 < L:
-                v = v | (a[:, q + 1] << (12 - s))
-            planes.append(v & 0xFFFF)
-        return jnp.stack(planes, axis=1)
-
-    packed = jnp.bitwise_or(pack16(xs), jnp.left_shift(pack16(ys), 16))
 
     order = jnp.argsort(keys_all, axis=1)  # (Wt, n)
     k = jnp.take_along_axis(keys_all, order, axis=1)

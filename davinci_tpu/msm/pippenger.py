@@ -571,6 +571,31 @@ def _window_sums_tile_kernel_jit(curve, xs, ys, zs, keys_all):
 
 
 @functools.partial(jax.jit, static_argnums=0)
+def _window_sums_packed_jit(curve, packed, is_inf, keys_all):
+    """Kernel-path window sums over pre-packed planes (fixed-base MSM:
+    the pack depends only on the points, so proving-key bases pack once
+    — see bucket_kernel.pack_points)."""
+    from davinci_tpu.msm.bucket_kernel import bucket_accumulate_packed
+
+    buckets, acc, acc_key = bucket_accumulate_packed(
+        curve, packed, is_inf, keys_all, COLS, SIGNED_NBUCKETS, False,
+        signed=True,
+    )
+    buckets = _merge_leftovers_t(curve, buckets, acc, acc_key)
+    return _bucket_reduce_t(curve, buckets, shifted=True)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _pack_points_jit(curve, xs, ys, zs):
+    from davinci_tpu.msm.bucket_kernel import pack_points
+
+    return pack_points(curve, xs, ys, zs)
+
+
+_signed_sort_keys_jit = jax.jit(lambda limbs: _signed_sort_keys(limbs))
+
+
+@functools.partial(jax.jit, static_argnums=0)
 def _horner_jit(curve, sums, W: int):
     return _horner(curve, sums, W)
 
@@ -639,11 +664,13 @@ def _msm_reference(curve, xs, ys, zs, scalar_limbs):
     return tuple(a[0] for a in acc)
 
 
-def msm(curve, points, scalar_limbs):
+def msm(curve, points, scalar_limbs, precomp=None):
     """MSM on device.
 
     curve: DeviceCurve; points: (X, Y, Z) Montgomery limb batch (n, ...)
     each; scalar_limbs: (n, W) raw base-2^12 limbs of the scalars.
+    precomp: optional (packed, is_inf) from bucket_kernel.pack_points for
+    fixed-base MSMs (proving keys) — skips the per-call plane repack.
     Returns a single projective point.
     """
     xs, ys, zs = points
@@ -663,26 +690,59 @@ def msm(curve, points, scalar_limbs):
             )
         return _msm_reference(curve, xs, ys, zs, scalar_limbs)
     if _use_scan_kernel(curve):
-        # signed recode BEFORE padding: _pad_inputs pads keys with
+        import os
+
+        interp = os.environ.get("DAVINCI_MSM_KERNEL") == "interpret"
+        # signed recode BEFORE padding (jitted: the 22-step carry chain
+        # costs ~100 ms of host dispatch un-jitted); pad keys with
         # NBUCKETS, which is exactly the signed scheme's sink key
-        scalar_limbs = _signed_sort_keys(scalar_limbs)
+        keys = _signed_sort_keys_jit(scalar_limbs)
+        if precomp is None:
+            packed, is_inf = _pack_points_jit(curve, xs, ys, zs)
+        else:
+            packed, is_inf = precomp
+        n = packed.shape[0]
+        n_pad = max(COLS, 1 << (n - 1).bit_length() if n > 1 else COLS)
+        n_pad = -(-n_pad // COLS) * COLS
+        if n_pad != n:
+            extra = n_pad - n
+            packed = jnp.pad(packed, ((0, extra), (0, 0)))
+            is_inf = jnp.pad(is_inf, (0, extra), constant_values=True)
+            keys = jnp.pad(
+                keys, ((0, extra), (0, 0)), constant_values=NBUCKETS
+            )
+        n, W = keys.shape
+        wt = _window_tile(n, W)
+        keys_all = keys.T  # (W, n)
+        if interp:
+            tile_fn = functools.partial(
+                _window_sums_tile_kernel, interpret=True
+            )
+            if xs.shape[0] != n:
+                ident = curve.identity((n - xs.shape[0],))
+                xs = jnp.concatenate([xs, ident[0]])
+                ys = jnp.concatenate([ys, ident[1]])
+                zs = jnp.concatenate([zs, ident[2]])
+            sums = []
+            for w0 in range(0, W, wt):
+                sums.append(
+                    tile_fn(curve, xs, ys, zs, keys_all[w0 : w0 + wt])
+                )
+        else:
+            sums = []
+            for w0 in range(0, W, wt):
+                sums.append(
+                    _window_sums_packed_jit(
+                        curve, packed, is_inf, keys_all[w0 : w0 + wt]
+                    )
+                )
+        sums = tuple(jnp.concatenate(parts, axis=1) for parts in zip(*sums))
+        out = _horner_dispatch(curve, sums, W)  # (L, 1) x3
+        return tuple(a[:, 0] for a in out)
     xs, ys, zs, scalar_limbs = _pad_inputs(curve, xs, ys, zs, scalar_limbs)
     n, W = scalar_limbs.shape
     wt = _window_tile(n, W)
     keys_all = scalar_limbs.T  # (W, n)
-    if _use_scan_kernel(curve):
-        import os
-
-        interp = os.environ.get("DAVINCI_MSM_KERNEL") == "interpret"
-        tile_fn = functools.partial(
-            _window_sums_tile_kernel, interpret=interp
-        )
-        sums = []
-        for w0 in range(0, W, wt):
-            sums.append(tile_fn(curve, xs, ys, zs, keys_all[w0 : w0 + wt]))
-        sums = tuple(jnp.concatenate(parts, axis=1) for parts in zip(*sums))
-        out = _horner_dispatch(curve, sums, W)  # (L, 1) x3
-        return tuple(a[:, 0] for a in out)
     sums = []
     for w0 in range(0, W, wt):
         tile = keys_all[w0 : w0 + wt]
