@@ -54,6 +54,31 @@ class LinComb:
         return all(i == 0 for i in self.terms)
 
 
+def matvec_flat(mats, p: int, n_cons: int, z, N: int):
+    """(A z, B z, C z) mod p from CSR-exported matrices (see
+    ConstraintSystem._flat_matrices) — shared by the live builder and the
+    serialized solved-system loader (groth16/serialize.py)."""
+    import numpy as np
+
+    zv = np.empty(len(z), object)
+    zv[:] = z
+    out = []
+    for idx, coeff, offs in mats:
+        vec = [0] * N
+        if len(idx):
+            prod = coeff * zv[idx]
+            prod = np.append(prod, 0)  # sentinel for trailing empty rows
+            starts = np.minimum(offs[:-1], len(prod) - 1)
+            rows = np.add.reduceat(prod, starts)
+            empty = offs[1:] == offs[:-1]
+            if empty.any():
+                rows[empty] = 0
+            rows = rows % p
+            vec[:n_cons] = rows.tolist()
+        out.append(vec)
+    return out
+
+
 class ConstraintSystem:
     """R1CS builder + witness evaluator (single pass).
 
@@ -324,26 +349,9 @@ class ConstraintSystem:
         """(A z, B z, C z) mod p as three length-N lists — the Groth16
         witness reduction, vectorized with numpy object arrays (the role of
         gnark's solver evaluation; reference prover hot loop SURVEY §3.2)."""
-        import numpy as np
-
-        n_cons = len(self.constraints)
-        zv = np.empty(len(z), object)
-        zv[:] = z
-        out = []
-        for idx, coeff, offs in self._flat_matrices():
-            vec = [0] * N
-            if len(idx):
-                prod = coeff * zv[idx]
-                prod = np.append(prod, 0)  # sentinel for trailing empty rows
-                starts = np.minimum(offs[:-1], len(prod) - 1)
-                rows = np.add.reduceat(prod, starts)
-                empty = offs[1:] == offs[:-1]
-                if empty.any():
-                    rows[empty] = 0
-                rows = rows % self.p
-                vec[:n_cons] = rows.tolist()
-            out.append(vec)
-        return out
+        return matvec_flat(
+            self._flat_matrices(), self.p, len(self.constraints), z, N
+        )
 
     @property
     def num_variables(self) -> int:

@@ -309,3 +309,202 @@ def cs_structure_hash(cs) -> str:
         for c in coeff:
             h.update(int(c).to_bytes(96, "big"))
     return h.hexdigest()
+
+
+# -- solved constraint system (CCS role) -------------------------------------
+#
+# gnark caches the compiled constraint system next to PK/VK so a fresh
+# process proves without re-running circuit definition code
+# (circuits/artifacts.go:74-571).  Here the analogue is the SOLVED system:
+# CSR matrices + witness values + commitment/refinalize metadata — enough
+# for Groth16.prove / prove_committed_reuse with ZERO Python circuit
+# construction.  Coefficients are dictionary-encoded (a circuit has few
+# distinct coefficients — powers of two, small ints, p-k values), so the
+# big arrays are int32/int64.
+
+_CS_MAGIC = b"DVTCS1\n"
+
+
+class _Len:
+    __slots__ = ("n",)
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+
+class _LoadedRefinalize:
+    """Rebuilt LookupRangeChecker.refinalize: re-solve the challenge-
+    dependent wires (gamma, per-value and per-table-entry inverses, table
+    products) in place from stored indices."""
+
+    def __init__(self, cs, tb, gamma_idx, inv_idx, prod_idx, m_idx,
+                 checked_vals):
+        self.cs = cs
+        self.tb = tb
+        self._gamma_idx = gamma_idx
+        self._inv_idx = inv_idx
+        self._prod_idx = prod_idx
+        self._m_idx = m_idx
+        self._checked_vals = checked_vals
+
+    def __call__(self, challenge_value: int):
+        cs, p = self.cs, self.cs.p
+        n_table = 1 << self.tb
+        assert challenge_value == 0 or challenge_value >= n_table
+        g = challenge_value % p
+        cs.values[self._gamma_idx] = g
+        invs = [pow((g - v) % p, -1, p) for v in self._checked_vals]
+        table_invs = [pow((g - j) % p, -1, p) for j in range(n_table)]
+        nv = len(self._checked_vals)
+        for idx, iv in zip(self._inv_idx[:nv], invs):
+            cs.values[idx] = iv
+        for j in range(n_table):
+            cs.values[self._inv_idx[nv + j]] = table_invs[j]
+            cs.values[self._prod_idx[j]] = (
+                cs.values[self._m_idx[j]] * table_invs[j] % p
+            )
+
+
+class SolvedSystem:
+    """A deserialized solved R1CS: quacks like ConstraintSystem for the
+    prove paths (witness, matvec_all, committed wires, refinalize)."""
+
+    def __init__(self, p, num_public, values, mats, committed,
+                 challenge_idx, refin_state=None):
+        self.p = p
+        self.num_public = num_public
+        self.values = values
+        self._mats = mats
+        self.committed = committed
+        self.challenge_idx = challenge_idx
+        self.constraints = _Len(len(mats[0][2]) - 1)
+        if refin_state is not None:
+            self._refinalize = _LoadedRefinalize(self, *refin_state)
+
+    @property
+    def num_variables(self):
+        return len(self.values)
+
+    def witness(self):
+        return list(self.values)
+
+    def public_values(self):
+        return self.values[1 : 1 + self.num_public]
+
+    def matvec_all(self, z, N: int):
+        from davinci_tpu.groth16.r1cs import matvec_flat
+
+        return matvec_flat(self._mats, self.p, len(self.constraints), z, N)
+
+    def _flat_matrices(self):
+        return self._mats
+
+    def check_satisfied(self) -> bool:
+        n = len(self.constraints)
+        az, bz, cz = self.matvec_all(self.values, n)
+        a = np.empty(n, object); a[:] = az[:n]
+        b = np.empty(n, object); b[:] = bz[:n]
+        c = np.empty(n, object); c[:] = cz[:n]
+        return bool((((a * b - c) % self.p) == 0).all())
+
+
+def _write_bigints(buf, vals, nbytes: int):
+    buf.write(len(vals).to_bytes(8, "big"))
+    out = bytearray(len(vals) * nbytes)
+    for i, v in enumerate(vals):
+        out[i * nbytes : (i + 1) * nbytes] = int(v).to_bytes(nbytes, "big")
+    buf.write(bytes(out))
+
+
+def _read_bigints(buf, nbytes: int) -> list:
+    n = int.from_bytes(buf.read(8), "big")
+    raw = buf.read(n * nbytes)
+    return [
+        int.from_bytes(raw[i * nbytes : (i + 1) * nbytes], "big")
+        for i in range(n)
+    ]
+
+
+def solved_to_bytes(cs) -> bytes:
+    """Serialize a solved (optionally committed/lookup) system."""
+    buf = io.BytesIO()
+    buf.write(_CS_MAGIC)
+    nb = (cs.p.bit_length() + 7) // 8
+    buf.write(nb.to_bytes(2, "big"))
+    buf.write(cs.p.to_bytes(nb, "big"))
+    buf.write(int(cs.num_public).to_bytes(8, "big"))
+    _write_bigints(buf, cs.values, nb)
+    # matrices: dictionary-encoded coefficients
+    table: dict = {}
+    mats = cs._flat_matrices()
+    for idx, coeff, offs in mats:
+        ids = np.empty(len(coeff), np.int64)
+        for i, c in enumerate(coeff):
+            ci = int(c)
+            t = table.get(ci)
+            if t is None:
+                t = table[ci] = len(table)
+            ids[i] = t
+        _write_arr(buf, idx, np.int64)
+        _write_arr(buf, ids, np.int64)
+        _write_arr(buf, offs, np.int64)
+    _write_bigints(buf, list(table.keys()), nb)
+    # commitment metadata
+    _write_idx(buf, cs.committed or None)
+    ch = cs.challenge_idx
+    buf.write((ch if ch is not None else -1).to_bytes(8, "big", signed=True))
+    # lookup refinalize state
+    refin = getattr(cs, "_refinalize", None)
+    chk = getattr(refin, "__self__", None) if refin is not None else None
+    if chk is not None and hasattr(chk, "_inv_idx"):
+        buf.write(b"\x01")
+        buf.write(int(chk.tb).to_bytes(2, "big"))
+        buf.write(int(chk._gamma_idx).to_bytes(8, "big"))
+        _write_arr(buf, np.asarray(chk._inv_idx, np.int64), np.int64)
+        _write_arr(buf, np.asarray(chk._prod_idx, np.int64), np.int64)
+        _write_arr(buf, np.asarray(chk._m_idx, np.int64), np.int64)
+        _write_bigints(buf, [v.value for v in chk._checked], nb)
+    else:
+        buf.write(b"\x00")
+    return buf.getvalue()
+
+
+def solved_from_bytes(data: bytes) -> SolvedSystem:
+    buf = io.BytesIO(data)
+    assert buf.read(len(_CS_MAGIC)) == _CS_MAGIC, "bad solved-system blob"
+    nb = int.from_bytes(buf.read(2), "big")
+    p = int.from_bytes(buf.read(nb), "big")
+    num_public = int.from_bytes(buf.read(8), "big")
+    values = _read_bigints(buf, nb)
+    raw_mats = []
+    for _ in range(3):
+        idx = _read_arr(buf, np.int64)
+        ids = _read_arr(buf, np.int64)
+        offs = _read_arr(buf, np.int64)
+        raw_mats.append((idx, ids, offs))
+    table = _read_bigints(buf, nb)
+    tarr = np.empty(len(table), object)
+    tarr[:] = table
+    mats = tuple(
+        (idx, tarr[ids], offs) for idx, ids, offs in raw_mats
+    )
+    committed = _read_idx(buf)
+    committed = list(committed) if committed is not None else []
+    ch = int.from_bytes(buf.read(8), "big", signed=True)
+    challenge_idx = None if ch < 0 else ch
+    refin_state = None
+    if buf.read(1) == b"\x01":
+        tb = int.from_bytes(buf.read(2), "big")
+        gamma_idx = int.from_bytes(buf.read(8), "big")
+        inv_idx = _read_arr(buf, np.int64).tolist()
+        prod_idx = _read_arr(buf, np.int64).tolist()
+        m_idx = _read_arr(buf, np.int64).tolist()
+        checked_vals = _read_bigints(buf, nb)
+        refin_state = (tb, gamma_idx, inv_idx, prod_idx, m_idx,
+                       checked_vals)
+    return SolvedSystem(
+        p, num_public, values, mats, committed, challenge_idx, refin_state
+    )

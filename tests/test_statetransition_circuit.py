@@ -315,3 +315,60 @@ def test_state_transition_verify_aggregator(batch_setup):
     except AssertionError:  # residue-witness hint detects the mismatch
         ok = False
     assert not ok
+
+
+@pytest.mark.skipif(
+    "not __import__('os').environ.get('RUN_HEAVY_CIRCUITS')",
+    reason="production BW6-761 aggregator-verify build is heavy",
+)
+def test_state_transition_verify_aggregator_bw6_production(batch_setup):
+    """The PRODUCTION instantiation of the aggregator-verify sub-gadget:
+    emulated REAL BW6-761 (761-bit base field) Groth16 verification
+    inside the BN254 state-transition circuit (reference
+    statetransition.go:240 VerifyAggregatorProof over gnark sw_bw6761).
+    Prints the constraint count — the number that sizes full-scale c4."""
+    import copy
+    import os
+    from dataclasses import replace
+
+    import jax
+
+    if not os.environ.get("RUN_TPU_TESTS"):
+        jax.config.update("jax_platforms", "cpu")
+
+    from davinci_tpu.groth16 import ConstraintSystem as CS
+    from davinci_tpu.groth16 import Groth16
+    from davinci_tpu.pairing import PAIRINGS
+
+    ctx6 = PAIRINGS["bw6_761"]
+    outer = Groth16("bw6_761")
+    params, w = batch_setup
+    p2 = replace(
+        params, hash_bytes=31, use_lookup=True,
+        verify_aggregator=True, agg_ctx=ctx6,
+    )
+    bh = w.batch_hash(p2)
+
+    # stand-in aggregator circuit over BW6-761: one public input (the
+    # batch hash), arbitrary internal logic — the gadget cost depends
+    # only on the VK shape, not the inner circuit size
+    cs_agg = CS(ctx6.r)
+    pub = cs_agg.pub_input(bh)
+    s = cs_agg.priv_input(bh % 1009)
+    cs_agg.assert_eq(cs_agg.mul(s, 1) + (bh - bh % 1009), pub)
+    pk, vk = outer.setup(cs_agg)
+    agg_proof = outer.prove(pk, cs_agg, r_rand=5, s_rand=9)
+    assert outer.verify(vk, agg_proof, [bh])
+
+    p2 = replace(p2, agg_vk=vk)
+    w2 = copy.copy(w)
+    w2.agg_proof = agg_proof
+    cs = build_state_transition_circuit(
+        p2, w2, challenge=0x1CEB00DA777, blind=5
+    )
+    print(
+        f"\nc4 + PRODUCTION BW6-761 aggregator-verify (N=2): "
+        f"{len(cs.constraints):,} constraints, "
+        f"{cs.num_variables:,} variables"
+    )
+    assert cs.check_satisfied(), cs.first_unsatisfied()
