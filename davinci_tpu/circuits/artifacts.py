@@ -23,6 +23,8 @@ from davinci_tpu.groth16.serialize import (
     cs_structure_hash,
     pk_from_bytes,
     pk_to_bytes,
+    solved_from_bytes,
+    solved_to_bytes,
     vk_from_bytes,
     vk_to_bytes,
 )
@@ -180,6 +182,40 @@ class ArtifactStore:
             )
         )
         return CircuitRuntime(circuit_id, curve_name, pk, vk, shash, g16)
+
+    # -- solved-system blobs (CCS compile-once role) ----------------------
+
+    def save_solved(self, circuit_id: str, name: str, cs) -> pathlib.Path:
+        """Persist a solved constraint system next to the PK/VK so a fresh
+        process proves with zero Python circuit construction
+        (groth16/serialize.solved_to_bytes; gnark cached-CCS parity)."""
+        d = self._dir(circuit_id)
+        d.mkdir(parents=True, exist_ok=True)
+        p = d / f"{name}.solved"
+        with log.info_time(
+            "artifacts.save_solved", circuit=circuit_id, name=name
+        ):
+            tmp = p.with_suffix(f".solved.tmp{os.getpid()}")
+            tmp.write_bytes(solved_to_bytes(cs))
+            tmp.replace(p)
+        return p
+
+    def load_solved(self, circuit_id: str, name: str):
+        """The serialized solved system, or None if absent/unreadable."""
+        p = self._dir(circuit_id) / f"{name}.solved"
+        if not p.exists():
+            return None
+        try:
+            with log.info_time(
+                "artifacts.load_solved", circuit=circuit_id, name=name
+            ):
+                return solved_from_bytes(p.read_bytes())
+        except Exception as e:
+            log.warnw(
+                "artifacts.solved_unreadable", circuit=circuit_id,
+                error=str(e),
+            )
+            return None
 
 
 _default_store: ArtifactStore | None = None

@@ -165,17 +165,16 @@ def test_pipeline_sharded_msm_matches(small_cols):
     r = random.Random(91)
     n = 64 * 8
     pts = [spec.gen.mul(r.randrange(1, spec.r)) for _ in range(n)]
-    # 48-bit scalars: 4 of the 22 windows.  The full-width bucket reduce
-    # on 8 virtual CPU devices is minutes of pure execution and trips
-    # XLA's collective-rendezvous watchdog (flaky SIGABRT under load);
-    # window count doesn't change the code under test (per-window graphs
-    # are shape-identical), and full-width scalars are covered by the
-    # single-device oracle test above.
-    scalars = [r.randrange(1 << 48) for _ in range(n)]
+    # FULL-WIDTH scalars: all 22 windows through the sharded signed
+    # bucket pipeline (round-4 VERDICT: the 4-window reduction left the
+    # full-width mesh reduce covered only by the fragile dryrun).  At
+    # COLS=64 the per-device execution is small enough not to trip XLA's
+    # collective-rendezvous watchdog.
+    scalars = [r.randrange(spec.r) for _ in range(n)]
     scalars[0] = 0
 
     P = dc.encode_points(pts)
-    S = jnp.asarray(scalars_to_limbs(spec, scalars)[:, :4].copy())
+    S = jnp.asarray(scalars_to_limbs(spec, scalars))
     out = sharded_msm(dc, P, S, mesh)
     got = dc.decode_points(tuple(a[None] for a in out))[0]
     assert got == _host_msm(spec, pts, scalars)
