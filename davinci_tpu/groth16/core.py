@@ -18,6 +18,7 @@ for log-derivative lookup range checks (circuits/lookup.py).
 from __future__ import annotations
 
 import functools
+import os
 import random as _random
 from dataclasses import dataclass
 
@@ -404,19 +405,50 @@ class Groth16:
 
         # --- quotient polynomial h on device -----------------------------
         n_cons = len(cs.constraints)
-        with log.info_time("groth16.witness_reduce", n_constraints=n_cons):
-            az, bz, czv = cs.matvec_all(z, N)
-            # satisfaction check rides on the same reduction (a second
-            # full matvec via check_satisfied doubled the host cost)
-            a = np.empty(n_cons, object)
-            a[:] = az[:n_cons]
-            b = np.empty(n_cons, object)
-            b[:] = bz[:n_cons]
-            c = np.empty(n_cons, object)
-            c[:] = czv[:n_cons]
-            assert bool(
-                (((a * b - c) % r) == 0).all()
-            ), "witness does not satisfy constraints"
+        _dw = os.environ.get("DAVINCI_DEVICE_WITNESS", "1")
+        use_dev_witness = _dw == "force" or (
+            jax.default_backend() == "tpu" and _dw != "0"
+        )
+        Zp = None
+        dev_abc = None
+        if use_dev_witness:
+            from davinci_tpu.groth16.witness_dev import (
+                DeviceCSR,
+                matvec_device,
+                satisfied_device,
+            )
+
+            df = self.ntt.df
+            with log.info_time(
+                "groth16.witness_reduce_dev", n_constraints=n_cons
+            ):
+                dcsr = getattr(cs, "_dev_csr", None)
+                if dcsr is None:
+                    dcsr = DeviceCSR(cs._flat_matrices(), r, df.L)
+                    cs._dev_csr = dcsr
+                W = -(-self.g1.r.bit_length() // 12)
+                Zp = jnp.asarray(pack_scalars(self.g1, z))
+                Z_limbs = unpack_limbs(Zp, W)
+                dev_abc = matvec_device(df, dcsr, Z_limbs, N)
+                assert bool(
+                    satisfied_device(df, *dev_abc, n_cons)
+                ), "witness does not satisfy constraints"
+        else:
+            with log.info_time(
+                "groth16.witness_reduce", n_constraints=n_cons
+            ):
+                az, bz, czv = cs.matvec_all(z, N)
+                # satisfaction check rides on the same reduction (a second
+                # full matvec via check_satisfied doubled the host cost)
+                a = np.empty(n_cons, object)
+                a[:] = az[:n_cons]
+                b = np.empty(n_cons, object)
+                b[:] = bz[:n_cons]
+                c = np.empty(n_cons, object)
+                c[:] = czv[:n_cons]
+                assert bool(
+                    (((a * b - c) % r) == 0).all()
+                ), "witness does not satisfy constraints"
 
         with log.info_time("groth16.quotient_ntt", domain=N):
             df = self.ntt.df
@@ -443,9 +475,15 @@ class Groth16:
             # per-polynomial transforms: peak device memory is ~2 (N, L)
             # arrays instead of ~2 (3, N, L) — the difference between
             # fitting and OOMing the 2^24 full-size c2 domain in 16 GB HBM
-            cosets = [
-                coset_fwd(inv(df.encode(v))) for v in (az, bz, czv)
-            ]
+            if dev_abc is not None:
+                # device witness reduction: residues are already (N, L)
+                # Montgomery on device — no host encode/upload
+                cosets = [coset_fwd(inv(v)) for v in dev_abc]
+                dev_abc = None
+            else:
+                cosets = [
+                    coset_fwd(inv(df.encode(v))) for v in (az, bz, czv)
+                ]
             num = df.sub(df.mul(cosets[0], cosets[1]), cosets[2])
             del cosets  # (N, L) x3 — HBM headroom for the h transform
             zc_inv = pow((pow(g, N, r) - 1) % r, -1, r)
@@ -476,7 +514,8 @@ class Groth16:
                 # gathers + a device unpack — the 3x expanded-limb uploads
                 # over the axon tunnel were a measured per-prove cost
                 W = -(-self.g1.r.bit_length() // 12)
-                Zp = jnp.asarray(pack_scalars(self.g1, z))
+                if Zp is None:  # device witness path already uploaded it
+                    Zp = jnp.asarray(pack_scalars(self.g1, z))
                 ai, bi, ki = self._pk_dev_indices(pk, npub, len(z))
                 a_S = unpack_limbs(
                     Zp if ai is None else jnp.take(Zp, ai, axis=0), W
