@@ -54,6 +54,25 @@ class JSONSnapshotImporter:
         with open(path) as f:
             return self.import_snapshot(f.read(), census_id)
 
+    # dispatcher plugin interface (CensusImporter)
+    @staticmethod
+    def valid_uri(uri: str) -> bool:
+        return isinstance(uri, str) and (
+            uri.startswith("file://") or uri.endswith(".json")
+        )
+
+    def import_census(self, census: dict, processed: int = 0):
+        uri = census["uri"]
+        path = uri[len("file://"):] if uri.startswith("file://") else uri
+        ref = self.import_file(path)
+        root = self.db.publish(ref.census_id)
+        want = census.get("root")
+        if want is not None and root != want:
+            raise ValueError(
+                f"census root mismatch: built {root:#x}, expected {want:#x}"
+            )
+        return ref, ref.tree.size
+
 
 GRAPHQL_WEIGHT_QUERY = """\
 query GetWeightChangeEvents($first: Int!, $skip: Int!) {
@@ -160,6 +179,107 @@ class CallbackImporter:
             off += len(batch)
         log.infow("census.import.dynamic", census=ref.census_id, total=off)
         return ref
+
+
+class OnchainDynamicImporter:
+    """On-chain dynamic census importer (the third reference plugin:
+    census/importer.go:19-49 + censusdb.ImportByScopedAddress): the census
+    lives under a CHAIN-SCOPED identity (chainID, contract address)
+    instead of by-root — a dynamic census's root evolves as on-chain
+    weight changes land — and imports are INCREMENTAL, resuming from the
+    already-processed element count the caller tracks (importer.go
+    `processedElements`).  Each import publishes a frozen by-root
+    snapshot (proofs stay valid for that root) while the scoped working
+    tree keeps evolving.
+
+    The chain transport is a source callable
+    `source(contract, offset, limit) -> [(address, weight), ...]`
+    (weight 0 = removal->zero-weight update), fed by web3/ contract event
+    readers in production and by fakes in tests (zero-egress seam)."""
+
+    def __init__(self, censusdb: CensusDB, chain_id: int, source,
+                 batch_size: int = 512):
+        self.db = censusdb
+        self.chain_id = chain_id
+        self.source = source
+        self.batch_size = batch_size
+
+    @staticmethod
+    def valid_uri(uri: str) -> bool:
+        return isinstance(uri, str) and uri.startswith("onchain://")
+
+    def scoped_id(self, contract: int) -> str:
+        return f"onchain-{self.chain_id}-{contract:#042x}"
+
+    def import_census(self, census: dict, processed: int = 0):
+        """census: {"uri": "onchain://0x<contract>", "root": int|None}.
+        Returns (ref, processed') — processed' is the cursor for the next
+        incremental import."""
+        uri = census["uri"]
+        assert self.valid_uri(uri), f"not an on-chain census uri: {uri}"
+        contract = int(uri[len("onchain://"):], 16)
+        cid = self.scoped_id(contract)
+        ref = self.db.by_id.get(cid) or self.db.new(cid)
+        off = processed
+        while True:
+            batch = self.source(contract, off, self.batch_size)
+            if not batch:
+                break
+            for addr, weight in batch:
+                if addr in ref.index_by_address:
+                    self.db.update_weight(cid, addr, weight)
+                else:
+                    self.db.insert(cid, addr, weight)
+            off += len(batch)
+        root = ref.tree.root
+        want = census.get("root")
+        if want is not None and root != want:
+            raise ValueError(
+                f"onchain census root mismatch: built {root:#x}, "
+                f"expected {want:#x}"
+            )
+        # frozen by-root snapshot: proofs for THIS root survive further
+        # dynamic updates to the scoped working tree
+        import copy as _copy
+
+        snap = _copy.deepcopy(ref)
+        snap.published = True
+        self.db.by_root[root] = snap
+        log.infow(
+            "census.import.onchain", census=cid, chain_id=self.chain_id,
+            contract=f"{contract:#x}", processed=off, root=f"{root:#x}",
+        )
+        return ref, off
+
+
+class CensusImporter:
+    """Plugin dispatcher (reference census/importer.go CensusImporter):
+    routes a census descriptor to the first plugin whose valid_uri
+    accepts it; by-root dedupe; CSP origins need no download."""
+
+    def __init__(self, censusdb: CensusDB, plugins):
+        self.db = censusdb
+        self.plugins = list(plugins)
+
+    def import_census(self, census: dict, processed: int = 0):
+        from davinci_tpu import spec as protocol
+
+        origin = census.get("origin", protocol.CENSUS_ORIGIN_MERKLE_STATIC)
+        if origin == protocol.CENSUS_ORIGIN_CSP_EDDSA_BJJ:
+            return None, processed  # CSP censuses are not downloaded
+        assert origin in protocol.MERKLE_CENSUS_ORIGINS, (
+            f"unsupported census origin: {origin}"
+        )
+        root = census.get("root")
+        if root is not None and root in self.db.by_root:
+            log.infow("census.import.skip", root=f"{root:#x}")
+            return self.db.by_root[root], processed
+        for plugin in self.plugins:
+            if plugin.valid_uri(census.get("uri", "")):
+                return plugin.import_census(census, processed)
+        raise LookupError(
+            f"no importer plugin for census uri: {census.get('uri')!r}"
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -154,3 +154,87 @@ def test_config_env_resolution(monkeypatch):
     assert cfg.batch_time_window == 12.5
     assert cfg.worker_name == "w7"  # explicit override wins
     assert cfg.votes_per_batch == 60  # default
+
+
+def test_onchain_dynamic_importer_incremental_and_scoped():
+    """Reference census/importer.go third plugin: chain-scoped identity,
+    incremental import cursor, weight updates, per-root frozen snapshots."""
+    from davinci_tpu.census import CensusDB
+    from davinci_tpu.services import CensusImporter, OnchainDynamicImporter
+
+    CONTRACT = 0xDEADBEEF00000000000000000000000000000001
+    events = [(0xA1, 1), (0xA2, 2), (0xA3, 1)]
+
+    def source(contract, offset, limit):
+        assert contract == CONTRACT
+        return events[offset : offset + limit]
+
+    db = CensusDB()
+    imp = OnchainDynamicImporter(db, chain_id=11155111, source=source,
+                                 batch_size=2)
+    census = {"uri": f"onchain://{CONTRACT:#x}"}
+    ref, processed = imp.import_census(census, 0)
+    assert processed == 3
+    assert ref.census_id == imp.scoped_id(CONTRACT)
+    root1 = ref.tree.root
+    assert root1 in db.by_root
+    p = db.proof_by_root(root1, 0xA2)
+    assert CensusDB.verify_proof(p) and p["weight"] == 2
+
+    # dynamic update lands on chain: one weight change + one new voter
+    events.extend([(0xA2, 7), (0xA4, 3)])
+    ref, processed = imp.import_census(census, processed)
+    assert processed == 5
+    root2 = ref.tree.root
+    assert root2 != root1
+    # the old snapshot still proves at the old root; the new at the new
+    assert db.proof_by_root(root1, 0xA2)["weight"] == 2
+    assert db.proof_by_root(root2, 0xA2)["weight"] == 7
+    assert db.proof_by_root(root2, 0xA4)["weight"] == 3
+
+    # expected-root pinning
+    try:
+        imp.import_census({"uri": census["uri"], "root": 1234}, processed)
+        assert False, "root mismatch must raise"
+    except ValueError:
+        pass
+
+
+def test_census_importer_dispatch(tmp_path):
+    """Plugin routing + by-root dedupe + CSP no-op (importer.go)."""
+    import json as _json
+
+    from davinci_tpu import spec as protocol
+    from davinci_tpu.census import CensusDB
+    from davinci_tpu.services import (
+        CensusImporter,
+        JSONSnapshotImporter,
+        OnchainDynamicImporter,
+    )
+
+    db = CensusDB()
+    snap = {"participants": [{"address": "0xb1", "weight": 1},
+                             {"address": "0xb2", "weight": 4}]}
+    p = tmp_path / "census.json"
+    p.write_text(_json.dumps(snap))
+
+    onchain = OnchainDynamicImporter(
+        db, chain_id=1, source=lambda c, o, l: [] if o else [(0xC1, 1)]
+    )
+    disp = CensusImporter(db, [onchain, JSONSnapshotImporter(db)])
+
+    ref, n = disp.import_census({"uri": str(p)})
+    assert n == 2 and ref.tree.root in db.by_root
+
+    ref2, n2 = disp.import_census({"uri": "onchain://0xabc"})
+    assert n2 == 1
+
+    # by-root dedupe: same root short-circuits to the cached ref
+    ref3, n3 = disp.import_census({"uri": str(p), "root": ref.tree.root})
+    assert ref3.tree.root == ref.tree.root
+
+    # CSP origins are never downloaded
+    got, n4 = disp.import_census(
+        {"origin": protocol.CENSUS_ORIGIN_CSP_EDDSA_BJJ}, 9
+    )
+    assert got is None and n4 == 9
