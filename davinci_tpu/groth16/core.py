@@ -412,28 +412,35 @@ class Groth16:
         Zp = None
         dev_abc = None
         if use_dev_witness:
-            from davinci_tpu.groth16.witness_dev import (
-                DeviceCSR,
-                matvec_device,
-                satisfied_device,
-            )
+            try:
+                from davinci_tpu.groth16.witness_dev import (
+                    DeviceCSR,
+                    matvec_device,
+                    satisfied_device,
+                )
 
-            df = self.ntt.df
-            with log.info_time(
-                "groth16.witness_reduce_dev", n_constraints=n_cons
-            ):
-                dcsr = getattr(cs, "_dev_csr", None)
-                if dcsr is None:
-                    dcsr = DeviceCSR(cs._flat_matrices(), r, df.L)
-                    cs._dev_csr = dcsr
-                W = -(-self.g1.r.bit_length() // 12)
-                Zp = jnp.asarray(pack_scalars(self.g1, z))
-                Z_limbs = unpack_limbs(Zp, W)
-                dev_abc = matvec_device(df, dcsr, Z_limbs, N)
-                assert bool(
-                    satisfied_device(df, *dev_abc, n_cons)
-                ), "witness does not satisfy constraints"
-        else:
+                df = self.ntt.df
+                with log.info_time(
+                    "groth16.witness_reduce_dev", n_constraints=n_cons
+                ):
+                    dcsr = getattr(cs, "_dev_csr", None)
+                    if dcsr is None:
+                        dcsr = DeviceCSR(cs._flat_matrices(), r, df.L)
+                        cs._dev_csr = dcsr
+                    W = -(-self.g1.r.bit_length() // 12)
+                    Zp = jnp.asarray(pack_scalars(self.g1, z))
+                    Z_limbs = unpack_limbs(Zp, W)
+                    dev_abc = matvec_device(df, dcsr, Z_limbs, N)
+                    assert bool(
+                        satisfied_device(df, *dev_abc, n_cons)
+                    ), "witness does not satisfy constraints"
+            except AssertionError:
+                raise
+            except Exception as e:  # compile/backend failure: host fallback
+                log.warnw("witness_dev.fallback", error=str(e)[:200])
+                use_dev_witness = False
+                dev_abc = None
+        if not use_dev_witness:
             with log.info_time(
                 "groth16.witness_reduce", n_constraints=n_cons
             ):
