@@ -23,7 +23,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-N_VOTES = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+_pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+N_VOTES = int(_pos[0]) if _pos else 60
+AGGV = "--aggv" in sys.argv
 CENSUS_LEVELS = 20
 BLOB_BITS = 12
 
@@ -132,6 +134,31 @@ def main():
         blob_domain_bits=BLOB_BITS,
         use_lookup=True,
     )
+    if AGGV:
+        # the PRODUCTION soundness core: emulated REAL BW6-761 Groth16
+        # verification of the aggregator proof (statetransition.go:240)
+        from dataclasses import replace
+
+        from davinci_tpu.groth16 import ConstraintSystem as CS
+        from davinci_tpu.groth16 import Groth16
+        from davinci_tpu.pairing import PAIRINGS
+
+        ctx6 = PAIRINGS["bw6_761"]
+        outer = Groth16("bw6_761")
+        params = replace(
+            params, hash_bytes=31, verify_aggregator=True, agg_ctx=ctx6
+        )
+        bh = w.batch_hash(params)
+        cs_agg = CS(ctx6.r)
+        pub_in = cs_agg.pub_input(bh)
+        s = cs_agg.priv_input(bh % 1009)
+        cs_agg.assert_eq(cs_agg.mul(s, 1) + (bh - bh % 1009), pub_in)
+        pk6, vk6 = outer.setup(cs_agg)
+        agg_proof = outer.prove(pk6, cs_agg, r_rand=5, s_rand=9)
+        assert outer.verify(vk6, agg_proof, [bh])
+        params = replace(params, agg_vk=vk6)
+        w.agg_proof = agg_proof
+        t("BW6-761 stand-in aggregator proof (real curve, real vk)", t0)
     cs = build_state_transition_circuit(
         params, w, challenge=0x1CEB00DAFF40, blind=7
     )
