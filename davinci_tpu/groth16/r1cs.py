@@ -54,6 +54,38 @@ class LinComb:
         return all(i == 0 for i in self.terms)
 
 
+def check_satisfied_flat(mats, p: int, n_cons: int, values,
+                         block: int = 1 << 20) -> bool:
+    """Chunked satisfaction check over CSR matrices: evaluates constraint
+    rows in `block`-sized slices so peak memory stays bounded (the
+    all-at-once object-array product OOM-killed the 31.6M-constraint
+    full-size circuit-4 check at ~100 GB)."""
+    import numpy as np
+
+    zv = np.empty(len(values), object)
+    zv[:] = values
+    for lo in range(0, n_cons, block):
+        hi = min(lo + block, n_cons)
+        vals = []
+        for idx, coeff, offs in mats:
+            s, e = int(offs[lo]), int(offs[hi])
+            if e == s:
+                vals.append(np.zeros(hi - lo, object))
+                continue
+            prod = coeff[s:e] * zv[idx[s:e]]
+            prod = np.append(prod, 0)
+            starts = np.minimum(offs[lo:hi] - s, len(prod) - 1)
+            rows = np.add.reduceat(prod, starts)
+            empty = offs[lo + 1 : hi + 1] == offs[lo:hi]
+            if empty.any():
+                rows[empty] = 0
+            vals.append(rows % p)
+        a, b, c = vals
+        if bool((((a * b - c) % p) != 0).any()):
+            return False
+    return True
+
+
 def matvec_flat(mats, p: int, n_cons: int, z, N: int):
     """(A z, B z, C z) mod p from CSR-exported matrices (see
     ConstraintSystem._flat_matrices) — shared by the live builder and the
@@ -366,17 +398,10 @@ class ConstraintSystem:
     def check_satisfied(self) -> bool:
         n = len(self.constraints)
         if n > 20000:
-            # vectorized path for big systems (gadget-heavy circuits)
-            import numpy as np
-
-            az, bz, cz = self.matvec_all(self.witness(), n)
-            a = np.empty(n, object)
-            a[:] = az[:n]
-            b = np.empty(n, object)
-            b[:] = bz[:n]
-            c = np.empty(n, object)
-            c[:] = cz[:n]
-            return bool((((a * b - c) % self.p) == 0).all())
+            # vectorized chunked path for big systems (bounded memory)
+            return check_satisfied_flat(
+                self._flat_matrices(), self.p, n, self.values
+            )
         return self.first_unsatisfied() is None
 
     def first_unsatisfied(self):

@@ -403,12 +403,11 @@ class SolvedSystem:
         return self._mats
 
     def check_satisfied(self) -> bool:
-        n = len(self.constraints)
-        az, bz, cz = self.matvec_all(self.values, n)
-        a = np.empty(n, object); a[:] = az[:n]
-        b = np.empty(n, object); b[:] = bz[:n]
-        c = np.empty(n, object); c[:] = cz[:n]
-        return bool((((a * b - c) % self.p) == 0).all())
+        from davinci_tpu.groth16.r1cs import check_satisfied_flat
+
+        return check_satisfied_flat(
+            self._mats, self.p, len(self.constraints), self.values
+        )
 
 
 def _write_bigints(buf, vals, nbytes: int):
