@@ -73,14 +73,11 @@ class DeviceCSR:
             ci_a[:T] = ids
             ri = np.full(Tp, len(offs) - 1, np.int32)  # sink row
             ri[:T] = rows
-            self.parts.append(
-                (
-                    jnp.asarray(vi),
-                    jnp.asarray(ci_a),
-                    jnp.asarray(ri),
-                    jnp.asarray(tl),
-                )
-            )
+            # HOST-resident: the term arrays are ~1 GB at full-size c2;
+            # keeping them on device across proves exhausted HBM on the
+            # second prove (16 GB chip also holds PK bases + NTT
+            # intermediates).  jit device_puts them transiently per call.
+            self.parts.append((vi, ci_a, ri, tl))
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
@@ -151,7 +148,9 @@ def matvec_device(df, dcsr: DeviceCSR, Z_limbs, N: int):
         with jax.enable_x64(True):
             acc = _accumulate(vi, ci, ri, tl, N, L, Z_limbs)
             Lb = _carry_cols(acc[:N])
+            del acc  # (N+1, 43) int64 — free before the next matrix
         out.append(_fold_mont(df, Lb, c1m, c2m))
+        del Lb
     return out
 
 
